@@ -1,0 +1,75 @@
+"""Resampling schemes for the particle ensemble — log-domain, key-driven.
+
+The reference resamples **every step** with independent inverse-CDF draws
+per particle (multinomial; tools/sample.m:30-33 called from
+src/particleFilter.m:104-109). That semantics is kept as
+:func:`multinomial_resample`; :func:`systematic_resample` (single uniform,
+stratified comb) is the lower-variance default the BASELINE.json north
+star asks for. All schemes consume *normalized* weights and return
+ancestor indices; gathering particle state is the caller's `jnp.take`,
+which XLA turns into the appropriate (possibly cross-device) gather.
+
+TPU notes: inverse-CDF lookups use `jnp.searchsorted` on the cumulative
+weight vector — O(N log N) vectorized compare/select rather than the
+reference's per-particle `sum(cumsum(w) < rand)` scan. No data-dependent
+shapes; everything jits.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _inverse_cdf(w, u):
+    """Map uniforms u in [0,1) to categorical indices via the CDF of w."""
+    cdf = jnp.cumsum(w)
+    # guard rounding: force the final CDF entry to cover 1.0
+    cdf = cdf / cdf[-1]
+    return jnp.clip(
+        jnp.searchsorted(cdf, u, side="right"), 0, w.shape[0] - 1
+    ).astype(jnp.int32)
+
+
+def sample_categorical(key, w):
+    """One index ~ Categorical(w) (tools/sample.m:30-33)."""
+    u = jax.random.uniform(key, ())
+    return _inverse_cdf(w, u)
+
+
+def multinomial_resample(key, w, n: int):
+    """n iid Categorical(w) draws (the reference's per-step scheme)."""
+    u = jax.random.uniform(key, (n,))
+    return _inverse_cdf(w, u)
+
+
+def systematic_resample(key, w, n: int):
+    """Systematic (single-offset comb) resampling: u_i = (i + u0)/n."""
+    u0 = jax.random.uniform(key, ())
+    u = (jnp.arange(n, dtype=w.dtype) + u0) / n
+    return _inverse_cdf(w, u)
+
+
+def stratified_resample(key, w, n: int):
+    """Stratified resampling: u_i = (i + u_i')/n with iid u_i'."""
+    us = jax.random.uniform(key, (n,))
+    u = (jnp.arange(n, dtype=w.dtype) + us) / n
+    return _inverse_cdf(w, u)
+
+
+_SCHEMES = {
+    "multinomial": multinomial_resample,
+    "systematic": systematic_resample,
+    "stratified": stratified_resample,
+}
+
+
+def resample_indices(key, w, n: int, scheme: str = "multinomial"):
+    """Dispatch by scheme name (static)."""
+    try:
+        fn = _SCHEMES[scheme]
+    except KeyError:
+        raise ValueError(
+            f"unknown resampling scheme {scheme!r}; options: {sorted(_SCHEMES)}"
+        ) from None
+    return fn(key, w, n)
