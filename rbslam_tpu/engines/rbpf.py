@@ -1,0 +1,261 @@
+"""Rao-Blackwellized particle filter — `lax.scan` over time, `vmap` over
+particles.
+
+Reproduces the semantics of the reference filter (src/particleFilter.m):
+per step, (1) resample ancestors from the previous weights and propagate
+the nonlinear states (:103-113), (2) per-particle log-weights from the
+marginal innovation likelihood (:126-151), (3) log-sum-exp normalize
+(:153-156), (4) per-particle Kalman measurement update of the map state
+(:163-204). Differences by design:
+
+- the three per-particle MATLAB loops become three batched/vmapped ops —
+  the KF update is one [N_P, ny, nLin] x [N_P, nLin, nLin] einsum chain
+  on the MXU;
+- ancestor indices are *stored* and the trajectory tensor is
+  reconstructed once after the scan, replacing the O(T^2 N_P) in-place
+  history shuffle (:117-118);
+- resampling scheme is configurable (the reference is multinomial every
+  step; systematic is the default-recommended option per BASELINE.json);
+- noise comes from explicit PRNG keys;
+- `P_mean` is the correct weighted accumulation; the reference assigns
+  instead of accumulating inside its loop (:228-230) so only the last
+  particle survives — we do not replicate that bug.
+
+Both dense (conditionally linear) and sparse (conditionally linearized
+EKF, NaN-masked) measurement paths are supported with static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..math.linalg import ess_from_logw, logsumexp_normalize
+from ..models.base import DenseModel, SparseModel
+from ..ops.kalman import kalman_update_dense, kalman_update_masked
+from ..ops.resampling import resample_indices
+
+
+class RBPFConfig(NamedTuple):
+    n_particles: int
+    resampling: str = "multinomial"   # reference default (tools/sample.m)
+    jitter: float = 1e-3              # src/particleFilter.m:89
+    joseph: bool = False
+    store_trajectories: bool = True
+
+
+class RBPFResult(NamedTuple):
+    traj_max: jnp.ndarray          # [T, n_nonlin] max-weight particle per step
+    traj_mean: jnp.ndarray         # [T, n_nonlin] weighted mean per step
+    xl_max: jnp.ndarray            # [n_lin] final max-weight map
+    xl_mean: jnp.ndarray           # [n_lin] final weighted-mean map
+    P_max: jnp.ndarray             # [n_lin, n_lin]
+    P_mean: jnp.ndarray            # [n_lin, n_lin] (correct accumulation)
+    traj_sample_iwmax: jnp.ndarray  # [T, n_nonlin] ancestral path of final best
+    xn_traj: jnp.ndarray           # [T, N_P, n_nonlin] reconstructed trajectories
+    ancestors: jnp.ndarray         # [T-1, N_P]
+    logw: jnp.ndarray              # [N_P] final normalized log-weights
+    xn: jnp.ndarray                # [N_P, n_nonlin] final particles
+    xl: jnp.ndarray                # [N_P, n_lin] final maps
+    P: jnp.ndarray                 # [N_P, n_lin, n_lin] final covariances
+    ess: jnp.ndarray               # [T] effective sample size per step
+    log_evidence: jnp.ndarray      # scalar: sum_t log(1/N sum w~)
+    chol_retries: jnp.ndarray      # scalar: total jitter-retry count
+
+
+def _broadcast_time(Q, dt, T):
+    Q = jnp.asarray(Q)
+    if Q.ndim == 2:
+        Q = jnp.broadcast_to(Q, (T - 1,) + Q.shape)
+    dt = jnp.asarray(dt)
+    if dt.ndim == 0:
+        dt = jnp.broadcast_to(dt, (T - 1,))
+    return Q, dt
+
+
+def _init_linear(x0_lin, P0_lin, n_particles):
+    x0_lin = jnp.asarray(x0_lin)
+    if x0_lin.ndim == 1:
+        xl = jnp.broadcast_to(x0_lin, (n_particles,) + x0_lin.shape)
+    else:
+        # per-particle initial maps come as [n_lin, N_P] in the reference
+        # (pfslam.m:91); accept [N_P, n_lin] here
+        xl = x0_lin
+    P = jnp.broadcast_to(
+        jnp.asarray(P0_lin), (n_particles,) + jnp.asarray(P0_lin).shape
+    )
+    return xl, P
+
+
+def reconstruct_trajectories(xn_hist, ancestors):
+    """Rebuild per-particle ancestral trajectories.
+
+    xn_hist: [T, N_P, dn] states as generated; ancestors: [T-1, N_P]
+    (ancestors[t-1, i] = parent index of particle i at step t). Returns
+    [T, N_P, dn] where column i is the full history of final particle i —
+    the quantity the reference maintains by re-shuffling history every
+    step (src/particleFilter.m:117-118).
+    """
+    T, n_p, _ = xn_hist.shape
+    ident = jnp.arange(n_p)
+
+    def back(idx, a_t):
+        idx_prev = a_t[idx]
+        return idx_prev, idx_prev
+
+    _, idx_hist = jax.lax.scan(back, ident, ancestors, reverse=True)
+    # idx_hist[t] maps final-particle column -> index at step t (t < T-1)
+    idx_full = jnp.concatenate([idx_hist, ident[None]], axis=0)  # [T, N_P]
+    return jnp.take_along_axis(xn_hist, idx_full[:, :, None], axis=1)
+
+
+def _measurement_update(model, xn, xl, P, y_t, R, mask_t, jitter, joseph):
+    """Vmapped weight + KF update for one time step; returns
+    (xl', P', logw, retries)."""
+    if isinstance(model, DenseModel):
+        C = jax.vmap(model.meas_jacobian)(xn)            # [P, ny, nl]
+        xl_new, P_new, logw, retried = jax.vmap(
+            lambda Ci, Pi, xli: kalman_update_dense(
+                Ci, Pi, xli, y_t, R, jitter, joseph
+            )
+        )(C, P, xl)
+    else:
+        yhat, H = jax.vmap(model.measure)(xn, xl)        # [P, ny], [P, ny, nl]
+        xl_new, P_new, logw, retried = jax.vmap(
+            lambda yh, Hi, Pi, xli: kalman_update_masked(
+                yh, Hi, Pi, xli, y_t, R, mask_t, jitter
+            )
+        )(yhat, H, P, xl)
+    return xl_new, P_new, logw, jnp.sum(retried)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "config"),
+)
+def run_rbpf(
+    key,
+    model: Union[DenseModel, SparseModel],
+    dx,
+    y,
+    x0_nonlin,
+    x0_lin,
+    P0_lin,
+    Q,
+    R,
+    dt,
+    config: RBPFConfig,
+    mask: Optional[jnp.ndarray] = None,
+) -> RBPFResult:
+    """Run the RBPF.
+
+    dx: [T-1, n_u] odometry; y: [T, ny] observations (NaN allowed on the
+    sparse path — converted to a mask); mask optionally overrides the
+    NaN-derived visibility mask.
+    """
+    n_p = config.n_particles
+    T = y.shape[0]
+    y = jnp.asarray(y)
+    if mask is None:
+        mask = jnp.isfinite(y).astype(y.dtype)
+    y = jnp.nan_to_num(y)
+    Q, dt = _broadcast_time(Q, dt, T)
+    R = jnp.asarray(R)
+
+    xn0 = jnp.broadcast_to(
+        jnp.asarray(x0_nonlin), (n_p,) + jnp.asarray(x0_nonlin).shape
+    )
+    xl0, P0 = _init_linear(x0_lin, P0_lin, n_p)
+
+    # --- step t = 0: no prediction (src/particleFilter.m:103) ---
+    key, k0 = jax.random.split(key)
+    xl1, P1, logw1, retries0 = _measurement_update(
+        model, xn0, xl0, P0, y[0], R, mask[0], config.jitter, config.joseph
+    )
+    w1, logw1n, logz0 = logsumexp_normalize(logw1)
+
+    def step(carry, inputs):
+        xn, xl, P, logw_n, retries = carry
+        k, y_t, mask_t, u, Q_t, dt_t = inputs
+        k_res, k_dyn = jax.random.split(k)
+
+        w = jnp.exp(logw_n)
+        ai = resample_indices(k_res, w, n_p, config.resampling)
+        xn_anc = jnp.take(xn, ai, axis=0)
+        xl_anc = jnp.take(xl, ai, axis=0)
+        P_anc = jnp.take(P, ai, axis=0)
+
+        dyn_keys = jax.random.split(k_dyn, n_p)
+        xn_new = jax.vmap(
+            lambda kk, x: model.dynamics(kk, x, u, dt_t, Q_t)
+        )(dyn_keys, xn_anc)
+
+        xl_new, P_new, logw, retried = _measurement_update(
+            model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
+            config.jitter, config.joseph,
+        )
+        w_new, logw_nn, logz = logsumexp_normalize(logw)
+
+        iw_max = jnp.argmax(logw_nn)
+        outs = (
+            xn_new,
+            ai.astype(jnp.int32),
+            logw_nn,
+            xn_new[iw_max],
+            jnp.sum(xn_new * w_new[:, None], axis=0),
+            ess_from_logw(logw_nn),
+            logz - jnp.log(n_p),
+        )
+        return (xn_new, xl_new, P_new, logw_nn, retries + retried), outs
+
+    step_keys = jax.random.split(key, T - 1)
+    inputs = (step_keys, y[1:], mask[1:], dx, Q, dt)
+    carry0 = (xn0, xl1, P1, logw1n, retries0)
+    (xn_f, xl_f, P_f, logw_f, total_retries), outs = jax.lax.scan(
+        step, carry0, inputs
+    )
+    xn_hist, ancestors, logw_hist, traj_max_t, traj_mean_t, ess_t, logz_t = outs
+
+    # prepend step-0 outputs
+    iw0 = jnp.argmax(logw1n)
+    traj_max = jnp.concatenate(
+        [xn0[iw0][None], traj_max_t], axis=0
+    )
+    traj_mean = jnp.concatenate(
+        [jnp.sum(xn0 * w1[:, None], axis=0)[None], traj_mean_t], axis=0
+    )
+    ess = jnp.concatenate([ess_from_logw(logw1n)[None], ess_t])
+    log_evidence = (logz0 - jnp.log(n_p)) + jnp.sum(logz_t)
+
+    xn_hist_full = jnp.concatenate([xn0[None], xn_hist], axis=0)  # [T, P, dn]
+    xn_traj = reconstruct_trajectories(xn_hist_full, ancestors)
+
+    w_f = jnp.exp(logw_f)
+    iw_max = jnp.argmax(logw_f)
+    xl_mean = jnp.sum(xl_f * w_f[:, None], axis=0)
+    dev = xl_mean[None, :] - xl_f
+    P_mean = jnp.einsum("p,pij->ij", w_f, P_f) + jnp.einsum(
+        "p,pi,pj->ij", w_f, dev, dev
+    )
+
+    return RBPFResult(
+        traj_max=traj_max,
+        traj_mean=traj_mean,
+        xl_max=xl_f[iw_max],
+        xl_mean=xl_mean,
+        P_max=P_f[iw_max],
+        P_mean=P_mean,
+        traj_sample_iwmax=xn_traj[:, iw_max],
+        xn_traj=xn_traj,
+        ancestors=ancestors,
+        logw=logw_f,
+        xn=xn_f,
+        xl=xl_f,
+        P=P_f,
+        ess=ess,
+        log_evidence=log_evidence,
+        chol_retries=total_retries,
+    )

@@ -1,0 +1,266 @@
+"""Information-form RBPS: the scalable ancestor-weight computation.
+
+Identical smoother to engines/rbps.py, but the future-measurement
+ancestor weights are computed in information form
+(src/particleSmootherInformationForm.m): per particle maintain
+
+    ivec = P0^-1 x0 + sum_j C_j' R^-1 y_j,
+    Imat = P0^-1    + sum_j C_j' R^-1 C_j,
+    halfLogDetP (recursed through the KF: :298)
+
+and once per sweep pre-accumulate the whole-trajectory suffix pair
+(ivecAdd, ImatAdd) along the reference (:132-146), downdating one term
+per time step (:194-201). The ancestor weight then costs one
+n_lin^3 Cholesky per particle independent of T (:224-236):
+
+    logwMeas = -1/2 ivec' P ivec - halfLogDetP
+               - sum log diag chol(ImatEnd) + 1/2 ||chol^-1 ivecEnd||^2
+
+Dense features only, like the reference (:77-80). Importance weights and
+KF updates use the standard innovation form (mathematically equal to the
+reference's information-form weight :301-304, and cheaper since the KF
+factorizes S anyway).
+
+Like the reference (:110-113), P0_lin is assumed diagonal when forming
+the initial information pair.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..math.linalg import (
+    half_logdet,
+    logsumexp_normalize,
+    psd_cholesky,
+    symmetrize,
+    tril_solve,
+)
+from ..models.base import DenseModel
+from ..ops.kalman import innovation_cov
+from ..ops.resampling import resample_indices, sample_categorical
+from ..math.linalg import gaussian_logpdf_chol, solve_psd
+from .rbpf import _broadcast_time, _init_linear, reconstruct_trajectories
+from .rbps import RBPSConfig, RBPSResult, _dyn_log_weights
+
+
+def _info_future_log_weights(ivec, Imat, P, halfLogDetP, ivec_add, Imat_add, jitter):
+    """Ancestor measurement weights, information form (:224-236)."""
+
+    def one(ivec_i, Imat_i, P_i, hldp_i):
+        ivec_end = ivec_i + ivec_add
+        Imat_end = symmetrize(Imat_i + Imat_add)
+        L, retried = psd_cholesky(Imat_end, jitter)
+        v = tril_solve(L, ivec_end)
+        logw = (
+            -0.5 * ivec_i @ (P_i @ ivec_i)
+            - hldp_i
+            - half_logdet(L)
+            + 0.5 * jnp.sum(v * v)
+        )
+        return logw, retried
+
+    return jax.vmap(one)(ivec, Imat, P, halfLogDetP)
+
+
+def _kf_update_with_info(C, P, xl, ivec, Imat, hldp, y_t, R, Rinv, jitter):
+    """Per-particle KF update + information-pair update (:316-335) and
+    halfLogDetP recursion (:298). Returns
+    (xl', P', ivec', Imat', hldp', logw, retried)."""
+    e = y_t - C @ xl
+    S, CP = innovation_cov(C, P, R)
+    L, retried = psd_cholesky(S, jitter)
+    logw = gaussian_logpdf_chol(e, L)
+    K = solve_psd(L, CP).T
+    xl_new = xl + K @ e
+    P_new = symmetrize(P - K @ S @ K.T)
+    CtRinv = C.T @ Rinv
+    ivec_new = ivec + CtRinv @ y_t
+    Imat_new = Imat + CtRinv @ C
+    # halfLogDetP' = -sum log diag chol(S) + 0.5 log|R| + halfLogDetP
+    hldp_new = -half_logdet(L) + 0.5 * jnp.linalg.slogdet(R)[1] + hldp
+    return xl_new, P_new, ivec_new, Imat_new, hldp_new, logw, retried
+
+
+@partial(jax.jit, static_argnames=("model", "config", "is_first"))
+def _info_sweep(
+    key,
+    model: DenseModel,
+    dx,
+    y,
+    x0_nonlin,
+    x0_lin,
+    P0_lin,
+    Q,
+    R,
+    dt,
+    config: RBPSConfig,
+    xnk,
+    is_first: bool,
+):
+    n_p = config.n_particles
+    T, ny = y.shape
+    R = jnp.asarray(R)
+    Rinv = jnp.linalg.inv(R)
+
+    xn0 = jnp.broadcast_to(
+        jnp.asarray(x0_nonlin), (n_p,) + jnp.asarray(x0_nonlin).shape
+    )
+    if not is_first:
+        xn0 = xn0.at[n_p - 1].set(xnk[0])
+    xl0, P0 = _init_linear(x0_lin, P0_lin, n_p)
+
+    # initial information pair; P0 treated as diagonal (:110-115)
+    p0_diag = jnp.diagonal(jnp.asarray(P0_lin))
+    Imat0_single = jnp.diag(1.0 / p0_diag)
+    ivec0 = xl0 / p0_diag[None, :]
+    Imat0 = jnp.broadcast_to(Imat0_single, (n_p,) + Imat0_single.shape)
+    hldp0 = jnp.full((n_p,), 0.5 * jnp.sum(jnp.log(p0_diag)), dtype=y.dtype)
+
+    if not is_first:
+        C_ref = jax.vmap(model.meas_jacobian)(xnk)      # [T, ny, n_lin]
+        # whole-trajectory suffix pair (:132-146)
+        ivec_add0 = jnp.einsum("tik,ij,tj->k", C_ref, Rinv, y)
+        Imat_add0 = jnp.einsum("tki,kl,tlj->ij", C_ref, Rinv, C_ref)
+    else:
+        C_ref = jnp.zeros((T, ny, model.n_lin), dtype=y.dtype)
+        ivec_add0 = jnp.zeros((model.n_lin,), dtype=y.dtype)
+        Imat_add0 = jnp.zeros((model.n_lin, model.n_lin), dtype=y.dtype)
+
+    def meas_all(xn, xl, P, ivec, Imat, hldp, y_t):
+        C = jax.vmap(model.meas_jacobian)(xn)
+        return jax.vmap(
+            lambda Ci, Pi, xli, iv, Im, hl: _kf_update_with_info(
+                Ci, Pi, xli, iv, Im, hl, y_t, R, Rinv, config.jitter
+            )
+        )(C, P, xl, ivec, Imat, hldp)
+
+    # t = 0
+    xl1, P1, ivec1, Imat1, hldp1, logw1, retried0 = meas_all(
+        xn0, xl0, P0, ivec0, Imat0, hldp0, y[0]
+    )
+    _, logw1n, _ = logsumexp_normalize(logw1)
+
+    def step(carry, inputs):
+        (xn, xl, P, ivec, Imat, hldp, logw_n, ivec_add, Imat_add, retries) = carry
+        k, y_t, u, Q_t, dt_t, t_idx = inputs
+        k_res, k_dyn, k_anc = jax.random.split(k, 3)
+
+        w = jnp.exp(logw_n)
+        ai = resample_indices(k_res, w, n_p, config.resampling)
+
+        if is_first:
+            anc_last = ai[n_p - 1]
+            retries_anc = jnp.zeros((), retries.dtype)
+        else:
+            # downdate the suffix pair by the (t-1) term (:194-201)
+            C_prev = C_ref[t_idx - 1]
+            CtRinv_prev = C_prev.T @ Rinv
+            ivec_add = ivec_add - CtRinv_prev @ y[t_idx - 1]
+            Imat_add = Imat_add - CtRinv_prev @ C_prev
+
+            logw_dyn = _dyn_log_weights(model, xnk[t_idx], xn, u, dt_t, Q_t)
+            logw_meas, retried = _info_future_log_weights(
+                ivec, Imat, P, hldp, ivec_add, Imat_add, config.jitter
+            )
+            pa_log = logw_n + logw_dyn + logw_meas
+            pa, _, _ = logsumexp_normalize(pa_log)
+            anc_last = sample_categorical(k_anc, pa)
+            retries_anc = jnp.sum(retried)
+
+        ai = ai.at[n_p - 1].set(anc_last)
+        xn_anc = jnp.take(xn, ai, axis=0)
+        gather = lambda a: jnp.take(a, ai, axis=0)
+        xl_a, P_a, ivec_a, Imat_a, hldp_a = map(
+            gather, (xl, P, ivec, Imat, hldp)
+        )
+
+        dyn_keys = jax.random.split(k_dyn, n_p)
+        xn_new = jax.vmap(
+            lambda kk, x: model.dynamics(kk, x, u, dt_t, Q_t)
+        )(dyn_keys, xn_anc)
+        if not is_first:
+            xn_new = xn_new.at[n_p - 1].set(xnk[t_idx])
+
+        xl_new, P_new, ivec_new, Imat_new, hldp_new, logw, retried_kf = (
+            meas_all(xn_new, xl_a, P_a, ivec_a, Imat_a, hldp_a, y_t)
+        )
+        _, logw_nn, _ = logsumexp_normalize(logw)
+        ess = jnp.exp(-jax.nn.logsumexp(2.0 * logw_nn))
+        carry_new = (
+            xn_new, xl_new, P_new, ivec_new, Imat_new, hldp_new,
+            logw_nn, ivec_add, Imat_add,
+            retries + retries_anc + jnp.sum(retried_kf),
+        )
+        return carry_new, (xn_new, ai.astype(jnp.int32), ess)
+
+    Qb, dtb = _broadcast_time(Q, dt, T)
+    keys = jax.random.split(key, T - 1)
+    inputs = (keys, y[1:], dx, Qb, dtb, jnp.arange(1, T))
+    carry0 = (
+        xn0, xl1, P1, ivec1, Imat1, hldp1, logw1n,
+        ivec_add0, Imat_add0, jnp.sum(retried0),
+    )
+    final, (xn_hist, ancestors, ess_t) = jax.lax.scan(step, carry0, inputs)
+    xn_f, xl_f, P_f = final[0], final[1], final[2]
+    logw_f, retries = final[6], final[9]
+
+    xn_hist_full = jnp.concatenate([xn0[None], xn_hist], axis=0)
+    xn_traj = reconstruct_trajectories(xn_hist_full, ancestors)
+    ak = sample_categorical(jax.random.fold_in(key, 7), jnp.exp(logw_f))
+    ess0 = jnp.exp(-jax.nn.logsumexp(2.0 * logw1n))
+    return (
+        xn_traj[:, ak], xl_f[ak], P_f[ak],
+        jnp.concatenate([ess0[None], ess_t]), retries,
+    )
+
+
+def run_rbps_information_form(
+    key,
+    model: DenseModel,
+    dx,
+    y,
+    x0_nonlin,
+    x0_lin,
+    P0_lin,
+    Q,
+    R,
+    dt,
+    config: RBPSConfig,
+    mask: Optional[jnp.ndarray] = None,
+) -> RBPSResult:
+    """N_K information-form CPF-AS sweeps (dense features only, :77-80)."""
+    if not isinstance(model, DenseModel):
+        raise ValueError(
+            "information-form smoother supports dense features only "
+            "(as the reference, src/particleSmootherInformationForm.m:77-80); "
+            "use run_rbps for sparse models"
+        )
+    y = jnp.asarray(y)
+    T = y.shape[0]
+    xnk = jnp.zeros((T, jnp.asarray(x0_nonlin).shape[0]), dtype=y.dtype)
+
+    XNK, XLK, PK, ESS, RET = [], [], [], [], []
+    for k in range(config.n_sweeps):
+        key, sub = jax.random.split(key)
+        xnk, xlk, Pk, ess, retries = _info_sweep(
+            sub, model, dx, y, x0_nonlin, x0_lin, P0_lin,
+            Q, R, dt, config, xnk, k == 0,
+        )
+        XNK.append(xnk)
+        XLK.append(xlk)
+        PK.append(Pk)
+        ESS.append(ess)
+        RET.append(retries)
+
+    return RBPSResult(
+        XNK=jnp.stack(XNK),
+        XLK=jnp.stack(XLK),
+        PK=jnp.stack(PK),
+        ess=jnp.stack(ESS),
+        chol_retries=jnp.stack(RET),
+    )

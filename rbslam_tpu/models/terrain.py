@@ -1,0 +1,96 @@
+"""Terrain-matching localization model: fixed GP map, no linear state.
+
+Reference semantics (examples/mag-localization-mapping/run_localization.m,
+particleFilterLocalization.m):
+
+- state xn = [p (3), q (4)];
+- dynamics (:274-281):
+      p' = p + u[:3] + sqrt(dt*Q_pos) xi_p
+      q' = (u_q ⊗ q) ⊗ expq(sqrt(dt*Q_ori) xi_q)
+  (note the composition order differs from the mag3D SLAM model: the
+  odometry increment left-multiplies, qRight(q)*dq = dq ⊗ q);
+- weights (:241-272): the GP posterior predictive at the particle
+  position, rotated to the body frame; the reference computes
+      w_i = sum_axis normpdf(y_axis; (R' mu)_axis, sqrt(var + sigma2))
+  in the *linear* domain — a SUM of per-axis pdfs with a divergence
+  warning when all weights underflow (particleFilterLocalization.m:110-115).
+  Here the default is the correct log-domain joint density
+  (mode="product"); mode="sum" reproduces the reference's
+  sum-of-pdfs semantics via logsumexp. Two reference quirks are fixed
+  (and documented): predictive *variance* is evaluated at the particle
+  positions (run_localization.m:264-266 evaluates it on the test grid
+  and indexes it by particle number), and weights never leave log space.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..basis.potential import ScalarPotentialBasis
+from ..math.quaternions import expq, qmul, quat_to_rmat
+
+_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+
+
+class TerrainModel(NamedTuple):
+    dynamics: Callable       # (key, xn, u, dt, Q) -> xn'
+    log_weight: Callable     # (y_t [3], xn) -> scalar log weight
+    predict_field: Callable  # (x [.., 3]) -> (mean [.., 3], var [.., 3])
+    n_nonlin: int
+
+
+def make_terrain_model(
+    potential: ScalarPotentialBasis,
+    posterior_mean_weights,   # [n_lin] "foo" (run_localization.m:150-151)
+    posterior_chol,           # [n_lin, n_lin] lower chol of (Phi'Phi + diag(sigma2/k))
+    sigma2: float,
+    mode: str = "product",
+) -> TerrainModel:
+    if mode not in ("product", "sum"):
+        raise ValueError(f"mode must be 'product' or 'sum', got {mode!r}")
+    w_map = jnp.asarray(posterior_mean_weights)
+    Lpost = jnp.asarray(posterior_chol)
+
+    def predict_field(x):
+        C = potential.grad_blocks(x)                 # [.., 3, n_lin]
+        mean = C @ w_map
+        # var = sigma2 * row_i (C A^{-1} C')_ii with A = L L'
+        V = jax.scipy.linalg.solve_triangular(
+            Lpost, jnp.swapaxes(C, -1, -2), lower=True
+        )                                            # [.., n_lin, 3]
+        var = sigma2 * jnp.sum(V * V, axis=-2)
+        return mean, var
+
+    def log_weight(y_t, xn):
+        mean_nav, var = predict_field(xn[:3])
+        Rnb = quat_to_rmat(xn[3:7])
+        mean_body = Rnb.T @ mean_nav
+        s2 = var + sigma2
+        log_pdfs = -0.5 * (
+            (y_t - mean_body) ** 2 / s2 + jnp.log(s2) + _LOG2PI
+        )
+        if mode == "product":
+            return jnp.sum(log_pdfs)
+        return jax.nn.logsumexp(log_pdfs)
+
+    def dynamics(key, xn, u, dt, Q):
+        kp, kq = jax.random.split(key)
+        p, q = xn[:3], xn[3:7]
+        Lp = jnp.linalg.cholesky(dt * Q[:3, :3])
+        Lq = jnp.linalg.cholesky(dt * Q[3:6, 3:6])
+        p_new = p + u[:3] + Lp @ jax.random.normal(kp, (3,), dtype=xn.dtype)
+        q_new = qmul(
+            qmul(u[3:7], q),
+            expq(Lq @ jax.random.normal(kq, (3,), dtype=xn.dtype)),
+        )
+        return jnp.concatenate([p_new, q_new])
+
+    return TerrainModel(
+        dynamics=dynamics,
+        log_weight=log_weight,
+        predict_field=predict_field,
+        n_nonlin=7,
+    )

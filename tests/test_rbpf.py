@@ -1,0 +1,125 @@
+"""RBPF engine tests: KF-equivalence vs batch GP regression, and an
+end-to-end dense-radio run with an RMSE gate (SURVEY §4 test strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rbslam_tpu.basis import hypercube_basis, se_spectral_density
+from rbslam_tpu.basis.laplace import domain_center
+from rbslam_tpu.data import simulate_dense_dataset
+from rbslam_tpu.engines import RBPFConfig, run_rbpf
+from rbslam_tpu.metrics import aligned_position_rmse
+from rbslam_tpu.models import make_radio2d_model
+
+THETA = (0.25, 2.0, 0.01)
+
+
+def _radio_setup(m_est=32):
+    """Dense-radio line workload at test scale
+    (run_dense2D_withHeading.m:65-77,108-128)."""
+    n = 32
+    Qvec = 1e-6 * np.ones(n)
+    Qvec[n // 2 - 1] = 0.3**2          # heading spike at t = N/2
+    Q = jnp.asarray(Qvec[: n - 1].reshape(-1, 1, 1))
+
+    # a throwaway model for data generation (basis not needed there)
+    basis0 = hypercube_basis(4, np.array([1.0, 1.0]))
+    gen_model = make_radio2d_model(basis0)
+
+    data = simulate_dense_dataset(
+        jax.random.PRNGKey(1),
+        "line_3D",
+        THETA,
+        Q,
+        1.0,
+        gen_model.dynamics,
+        m_sim=256,
+        with_grid=False,
+    )
+
+    basis = hypercube_basis(m_est, data.LL)
+    center = jnp.asarray(domain_center(data.LL), jnp.float32)
+
+    # estimation operates in the centered domain: shift positions inside
+    # the measurement Jacobian by wrapping the model
+    model = make_radio2d_model(basis)
+
+    def meas_jacobian(xn):
+        return basis.phi(xn[:2] - center)[None, :]
+
+    model = model._replace(meas_jacobian=meas_jacobian)
+    k = se_spectral_density(
+        jnp.asarray(np.sqrt(basis.eigenvalues), jnp.float32),
+        THETA[0], THETA[1], 2,
+    )
+    return data, model, basis, center, k, Q
+
+
+def test_rbpf_single_particle_equals_batch_gp():
+    """With 1 particle and zero process noise the trajectory is fixed, so
+    the final (xl, P) must equal the batch reduced-rank GP posterior on
+    that trajectory (SURVEY §4 gate (a))."""
+    data, model, basis, center, k, _ = _radio_setup()
+    T = data.y.shape[0]
+    Q0 = jnp.full((T - 1, 1, 1), 1e-20)  # freeze heading noise
+
+    cfg = RBPFConfig(n_particles=1)
+    res = run_rbpf(
+        jax.random.PRNGKey(0), model, data.dx, data.y,
+        data.init_state, jnp.zeros(basis.m), jnp.diag(k),
+        Q0, jnp.array([[THETA[2]]]), 1.0, cfg,
+    )
+
+    # batch posterior at the traversed positions
+    path = res.xn_traj[:, 0, :2] - center
+    Phi = basis.phi(path)
+    sigma2 = THETA[2]
+    A = Phi.T @ Phi / sigma2 + jnp.diag(1.0 / k)
+    xl_batch = jnp.linalg.solve(A, Phi.T @ data.y[:, 0] / sigma2)
+    P_batch = jnp.linalg.inv(A)
+
+    np.testing.assert_allclose(
+        np.asarray(res.xl), np.asarray(xl_batch)[None], atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.P[0]), np.asarray(P_batch), atol=5e-3
+    )
+
+
+@pytest.mark.parametrize("scheme", ["multinomial", "systematic"])
+def test_rbpf_dense_radio_rmse_gate(scheme):
+    """End-to-end filter on the line workload: Procrustes RMSE under a
+    loose gate (odometry-only drift is much larger than the gate)."""
+    data, model, basis, center, k, Q = _radio_setup()
+    cfg = RBPFConfig(n_particles=100, resampling=scheme)
+    res = run_rbpf(
+        jax.random.PRNGKey(2), model, data.dx, data.y,
+        data.init_state, jnp.zeros(basis.m), jnp.diag(k),
+        Q, jnp.array([[THETA[2]]]), 1.0, cfg,
+    )
+    rmse = float(
+        aligned_position_rmse(jnp.asarray(data.pos), res.traj_mean[:, :2])
+    )
+    assert np.isfinite(rmse)
+    assert rmse < 0.5, rmse
+    assert np.all(np.isfinite(np.asarray(res.logw)))
+    assert float(res.ess.min()) > 0.5
+
+
+def test_rbpf_outputs_shapes():
+    data, model, basis, center, k, Q = _radio_setup()
+    cfg = RBPFConfig(n_particles=8)
+    res = run_rbpf(
+        jax.random.PRNGKey(3), model, data.dx, data.y,
+        data.init_state, jnp.zeros(basis.m), jnp.diag(k),
+        Q, jnp.array([[THETA[2]]]), 1.0, cfg,
+    )
+    T = data.y.shape[0]
+    assert res.traj_max.shape == (T, 3)
+    assert res.xn_traj.shape == (T, 8, 3)
+    assert res.ancestors.shape == (T - 1, 8)
+    assert res.P_mean.shape == (basis.m, basis.m)
+    # trajectory reconstruction consistency: last slice is the final xn
+    np.testing.assert_allclose(res.xn_traj[-1], res.xn)
