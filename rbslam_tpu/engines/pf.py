@@ -31,6 +31,11 @@ class PFConfig(NamedTuple):
     n_particles: int
     resampling: str = "multinomial"
     store_trajectories: bool = False
+    # Resample only when ESS < ess_threshold * N, accumulating log-weights
+    # in between. 1.0 reproduces the reference's every-step resampling
+    # (particleFilterLocalization.m:91-95); lower values preserve particle
+    # diversity against premature collapse in global localization.
+    ess_threshold: float = 0.5
 
 
 class PFResult(NamedTuple):
@@ -74,13 +79,23 @@ def run_pf_localization(
         xn, logw_n = carry
         k, y_t, u, Q_t, dt_t = inputs
         k_res, k_dyn = jax.random.split(k)
-        ai = resample_indices(k_res, jnp.exp(logw_n), n_p, config.resampling)
+        ess_prev = ess_from_logw(logw_n)
+        do_resample = ess_prev <= config.ess_threshold * n_p
+        ai_res = resample_indices(
+            k_res, jnp.exp(logw_n), n_p, config.resampling
+        )
+        ident = jnp.arange(n_p, dtype=ai_res.dtype)
+        ai = jnp.where(do_resample, ai_res, ident)
+        # after resampling the accumulated weights reset to uniform
+        logw_prev = jnp.where(
+            do_resample, jnp.full_like(logw_n, -jnp.log(n_p)), logw_n
+        )
         xn_anc = jnp.take(xn, ai, axis=0)
         dyn_keys = jax.random.split(k_dyn, n_p)
         xn_new = jax.vmap(
             lambda kk, x: dynamics(kk, x, u, dt_t, Q_t)
         )(dyn_keys, xn_anc)
-        logw = jax.vmap(lambda x: log_weight(y_t, x))(xn_new)
+        logw = logw_prev + jax.vmap(lambda x: log_weight(y_t, x))(xn_new)
         w, logw_nn, logz = logsumexp_normalize(logw)
         iw = jnp.argmax(logw_nn)
         outs = (

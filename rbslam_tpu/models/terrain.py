@@ -58,10 +58,9 @@ def make_terrain_model(
         C = potential.grad_blocks(x)                 # [.., 3, n_lin]
         mean = C @ w_map
         # var = sigma2 * row_i (C A^{-1} C')_ii with A = L L'
-        V = jax.scipy.linalg.solve_triangular(
-            Lpost, jnp.swapaxes(C, -1, -2), lower=True
-        )                                            # [.., n_lin, 3]
-        var = sigma2 * jnp.sum(V * V, axis=-2)
+        flat = C.reshape(-1, C.shape[-1])
+        V = jax.scipy.linalg.solve_triangular(Lpost, flat.T, lower=True)
+        var = (sigma2 * jnp.sum(V * V, axis=0)).reshape(C.shape[:-1])
         return mean, var
 
     def log_weight(y_t, xn):

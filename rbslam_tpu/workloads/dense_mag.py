@@ -1,0 +1,204 @@
+"""Dense 3D magnetic-field SLAM workload (examples/slam-dense-mag/).
+
+Reference config (run_dense3D_magfield.m, main.m): bean_6D trajectory
+(N_T=192), dt=0.01, Q = blkdiag(10^2 diag[.05^2,.05^2,.01^2],
+diag([.01 .01 .3] deg)^2), theta=[650;1.2;200;10], m=512(+3 linear)
+basis functions, N_P=100, N_K=10, constant magnetic disturbance o added
+to the measurements (main.m:37-60), EKF baseline (ekf_dense.m), metrics:
+Procrustes position RMSE + quaternion-error orientation RMSE.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..basis import ScalarPotentialBasis, hypercube_basis
+from ..basis.laplace import domain_center, hypercube_basis as _hb
+from ..basis.spectral import linear_plus_se_spectral
+from ..data import simulate_dense_dataset
+from ..engines import (
+    RBPFConfig,
+    RBPSConfig,
+    run_ekf_dense,
+    run_rbpf,
+    run_rbps,
+    run_rbps_information_form,
+)
+from ..metrics import aligned_position_rmse, orientation_rmse_deg, rms
+from ..models import make_mag3d_model
+from ..models.mag3d import dynamics_with_increment
+from .common import Timer, report
+
+
+def default_Q():
+    """main.m:22: blkdiag(10^2 diag[.05,.05,.01].^2, diag([.01 .01 .3]deg).^2)."""
+    qpos = 10.0**2 * np.array([0.05**2, 0.05**2, 0.01**2])
+    qori = (np.array([0.01, 0.01, 0.3]) * np.pi / 180.0) ** 2
+    return jnp.asarray(np.diag(np.concatenate([qpos, qori])), jnp.float32)
+
+
+@dataclass(frozen=True)
+class DenseMagConfig:
+    theta: tuple = (650.0, 1.2, 200.0, 10.0)
+    n_particles: int = 100
+    n_sweeps: int = 10
+    m_basis: int = 512
+    m_sim: int = 2000
+    dt: float = 0.01
+    mag_disturbance: tuple = (0.0, 0.0, 0.0)   # constant offset o (main.m:40)
+    n_laps: int = 3
+    n_per_lap: int = 64
+    resampling: str = "multinomial"
+    smoother: str = "info_form"
+    run_ekf: bool = True
+    run_filter: bool = True
+    seed: int = 1
+
+
+def build_problem(cfg: DenseMagConfig, key):
+    Q = default_Q()
+    data = simulate_dense_dataset(
+        key, "bean_6D", cfg.theta, Q, cfg.dt, dynamics_with_increment,
+        m_sim=cfg.m_sim,
+        traj_kwargs={"n_laps": cfg.n_laps, "n_per_lap": cfg.n_per_lap},
+        with_grid=False,
+    )
+    y = data.y + jnp.asarray(cfg.mag_disturbance, data.y.dtype)
+
+    potential = ScalarPotentialBasis(hypercube_basis(cfg.m_basis, data.LL))
+    center = jnp.asarray(domain_center(data.LL), jnp.float32)
+    base = make_mag3d_model(potential)
+
+    def meas_jacobian(xn):
+        from ..math.quaternions import quat_to_rmat
+
+        C_nav = potential.grad_blocks(xn[:3] - center)
+        return quat_to_rmat(xn[3:7]).T @ C_nav
+
+    model = base._replace(meas_jacobian=meas_jacobian)
+    k = linear_plus_se_spectral(
+        jnp.asarray(np.sqrt(potential.basis.eigenvalues), jnp.float32),
+        cfg.theta[0], cfg.theta[1], cfg.theta[2], 3,
+    )
+    R = jnp.asarray(cfg.theta[3] * np.eye(3), jnp.float32)
+    return data, y, model, potential, center, k, Q, R
+
+
+def run(cfg: DenseMagConfig) -> dict:
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_data, k_f, k_s = jax.random.split(key, 4)
+    data, y, model, potential, center, k, Q, R = build_problem(cfg, k_data)
+    pos_true = jnp.asarray(data.pos)
+    quat_true = jnp.asarray(data.quat)
+    x0_lin = jnp.zeros(potential.n_lin)
+    P0 = jnp.diag(k)
+    out = {
+        "workload": "slam-dense-mag",
+        "mag_disturbance": list(cfg.mag_disturbance),
+        "n_steps": int(y.shape[0]),
+    }
+
+    if cfg.run_filter:
+        with Timer() as t_f:
+            res = run_rbpf(
+                k_f, model, data.dx, y, data.init_state, x0_lin, P0,
+                Q, R, cfg.dt,
+                RBPFConfig(
+                    n_particles=cfg.n_particles, resampling=cfg.resampling
+                ),
+            )
+            jax.block_until_ready(res.traj_mean)
+        out["rmse_filter_pos"] = [
+            float(aligned_position_rmse(pos_true, res.traj_max[:, :3])),
+            float(aligned_position_rmse(pos_true, res.traj_mean[:, :3])),
+        ]
+        out["rmse_filter_ori_deg"] = [
+            float(rms(orientation_rmse_deg(quat_true, res.traj_max[:, 3:7]))),
+            float(rms(orientation_rmse_deg(quat_true, res.traj_mean[:, 3:7]))),
+        ]
+        out["filter_s"] = t_f.elapsed
+        out["filter_ess_min"] = float(res.ess.min())
+
+    if cfg.n_sweeps > 0:
+        smoother = (
+            run_rbps_information_form
+            if cfg.smoother == "info_form"
+            else run_rbps
+        )
+        with Timer() as t_s:
+            res_s = smoother(
+                k_s, model, data.dx, y, data.init_state, x0_lin, P0,
+                Q, R, cfg.dt,
+                RBPSConfig(
+                    n_particles=cfg.n_particles,
+                    n_sweeps=cfg.n_sweeps,
+                    resampling=cfg.resampling,
+                ),
+            )
+            jax.block_until_ready(res_s.XNK)
+        out["rmse_smoother_pos"] = [
+            float(aligned_position_rmse(pos_true, res_s.XNK[s, :, :3]))
+            for s in range(cfg.n_sweeps)
+        ]
+        out["rmse_smoother_ori_deg"] = [
+            float(
+                rms(orientation_rmse_deg(quat_true, res_s.XNK[s, :, 3:7]))
+            )
+            for s in range(cfg.n_sweeps)
+        ]
+        out["smoother_s"] = t_s.elapsed
+
+    if cfg.run_ekf:
+        x0_ekf = jnp.concatenate(
+            [data.init_state[:3] - center, jnp.zeros(3), x0_lin]
+        )
+        q0 = data.init_state[3:7]
+        P0_ekf = jnp.zeros((6 + potential.n_lin, 6 + potential.n_lin))
+        P0_ekf = P0_ekf.at[6:, 6:].set(P0)
+        with Timer() as t_e:
+            res_e = run_ekf_dense(
+                potential, data.dx, y, x0_ekf, q0, P0_ekf, Q, R, cfg.dt
+            )
+            jax.block_until_ready(res_e.x_traj)
+        out["rmse_ekf_pos"] = float(
+            aligned_position_rmse(pos_true, res_e.x_traj[:, :3])
+        )
+        out["ekf_s"] = t_e.elapsed
+
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--particles", type=int, default=100)
+    ap.add_argument("--sweeps", type=int, default=10)
+    ap.add_argument("--basis", type=int, default=512)
+    ap.add_argument("--disturbance", type=float, default=0.0,
+                    help="constant y-axis offset o in {0,1,5,10} (main.m:40)")
+    ap.add_argument("--smoother", default="info_form",
+                    choices=["cpf_as", "info_form"])
+    ap.add_argument("--no-ekf", action="store_true")
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args(argv)
+    cfg = DenseMagConfig(
+        n_particles=10 if args.quick else args.particles,
+        n_sweeps=2 if args.quick else args.sweeps,
+        m_basis=64 if args.quick else args.basis,
+        m_sim=256 if args.quick else 2000,
+        mag_disturbance=(0.0, args.disturbance, 0.0),
+        n_laps=1 if args.quick else 3,
+        smoother=args.smoother,
+        run_ekf=not args.no_ekf,
+        seed=args.seed,
+    )
+    report(run(cfg))
+
+
+if __name__ == "__main__":
+    main()
