@@ -1,0 +1,169 @@
+"""Benchmark: RBPF particle-step throughput on the flagship dense-mag model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "particle-steps/s", "vs_baseline": N}
+
+The reference publishes no timing numbers (BASELINE.md: "published": {});
+`vs_baseline` is therefore measured against a faithful single-threaded
+NumPy reimplementation of the reference's per-particle loops
+(src/particleFilter.m:104-204: sequential resample/propagate/weight/KF
+update with BLAS inner algebra) run on this host — the closest available
+stand-in for the MATLAB R2022b CPU baseline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _build_problem(m_basis, n_particles, n_steps, seed=1):
+    import jax
+    import jax.numpy as jnp
+
+    from rbslam_tpu.basis import ScalarPotentialBasis, hypercube_basis
+    from rbslam_tpu.basis.laplace import domain_center
+    from rbslam_tpu.basis.spectral import linear_plus_se_spectral
+    from rbslam_tpu.data import simulate_dense_dataset
+    from rbslam_tpu.models import make_mag3d_model
+    from rbslam_tpu.models.mag3d import dynamics_with_increment
+    from rbslam_tpu.math.quaternions import quat_to_rmat
+    from rbslam_tpu.workloads.dense_mag import default_Q
+
+    theta = (650.0, 1.2, 200.0, 10.0)
+    Q = default_Q()
+    n_laps = max(1, n_steps // 64)
+    data = simulate_dense_dataset(
+        jax.random.PRNGKey(seed), "bean_6D", theta, Q, 0.01,
+        dynamics_with_increment, m_sim=512,
+        traj_kwargs={"n_laps": n_laps, "n_per_lap": n_steps // n_laps},
+        with_grid=False,
+    )
+    potential = ScalarPotentialBasis(hypercube_basis(m_basis, data.LL))
+    center = jnp.asarray(domain_center(data.LL), jnp.float32)
+    base = make_mag3d_model(potential)
+
+    def meas_jacobian(xn):
+        return quat_to_rmat(xn[3:7]).T @ potential.grad_blocks(xn[:3] - center)
+
+    model = base._replace(meas_jacobian=meas_jacobian)
+    k = linear_plus_se_spectral(
+        jnp.asarray(np.sqrt(potential.basis.eigenvalues), jnp.float32),
+        theta[0], theta[1], theta[2], 3,
+    )
+    R = jnp.asarray(theta[3] * np.eye(3), jnp.float32)
+    return data, model, potential, k, Q, R
+
+
+def bench_rbpf(m_basis, n_particles, n_steps, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from rbslam_tpu.engines import RBPFConfig, run_rbpf
+
+    data, model, potential, k, Q, R = _build_problem(
+        m_basis, n_particles, n_steps
+    )
+    cfg = RBPFConfig(n_particles=n_particles, resampling="systematic")
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(potential.n_lin), jnp.diag(k), Q, R, 0.01, cfg,
+    )
+    key = jax.random.PRNGKey(0)
+    # compile + warm up
+    res = run_rbpf(key, *args)
+    jax.block_until_ready(res.logw)
+    best = np.inf
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        res = run_rbpf(jax.random.fold_in(key, i), *args)
+        jax.block_until_ready(res.logw)
+        best = min(best, time.perf_counter() - t0)
+    T = int(data.y.shape[0])
+    return n_particles * T / best, best, T
+
+
+def numpy_baseline_per_step(m_basis, n_particles, n_steps=8):
+    """Single-threaded per-particle-loop RBPF step cost (the reference's
+    structure: for-loop over particles, BLAS for the inner linear algebra)."""
+    rng = np.random.default_rng(0)
+    n_lin = 3 + m_basis
+    ny = 3
+    # representative C rows (dense random stands in for basis eval cost
+    # of eigenfun_dx; this *under*counts the baseline cost since the real
+    # reference also evaluates O(m * d) transcendentals per particle)
+    P = np.tile(np.eye(n_lin, dtype=np.float64), (n_particles, 1, 1))
+    xl = rng.normal(size=(n_particles, n_lin))
+    w = np.full(n_particles, 1.0 / n_particles)
+    R = 10.0 * np.eye(ny)
+    y = rng.normal(size=ny)
+    xn = rng.normal(size=(n_particles, 7))
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        # resample + propagate (per particle, tools/sample.m style)
+        ai = np.empty(n_particles, dtype=int)
+        for i in range(n_particles):
+            ai[i] = np.searchsorted(np.cumsum(w), rng.uniform())
+        ai = np.clip(ai, 0, n_particles - 1)
+        xn = xn[ai] + 0.01 * rng.normal(size=xn.shape)
+        xl = xl[ai]
+        P = P[ai]
+        logw = np.empty(n_particles)
+        for i in range(n_particles):
+            C = rng.normal(size=(ny, n_lin))  # stands in for basis eval
+            e = y - C @ xl[i]
+            S = C @ P[i] @ C.T + R
+            L = np.linalg.cholesky(S)
+            v = np.linalg.solve(L, e)
+            logw[i] = -np.log(np.diag(L)).sum() - 0.5 * v @ v
+            K = P[i] @ np.linalg.solve(S, C).T
+            xl[i] = xl[i] + K @ e
+            P[i] = P[i] - K @ S @ K.T
+        c = logw.max()
+        w = np.exp(logw - c)
+        w /= w.sum()
+    elapsed = time.perf_counter() - t0
+    return elapsed / (n_steps * n_particles)  # seconds per particle-step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--particles", type=int, default=1024)
+    ap.add_argument("--basis", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=192)
+    args = ap.parse_args()
+
+    if args.quick:
+        n_particles, m_basis, n_steps = 128, 32, 64
+    else:
+        n_particles, m_basis, n_steps = args.particles, args.basis, args.steps
+
+    throughput, elapsed, T = bench_rbpf(m_basis, n_particles, n_steps)
+
+    # baseline cost measured at small particle count, cost/particle-step
+    # is particle-count independent (sequential loop)
+    base_pp = numpy_baseline_per_step(m_basis, min(n_particles, 64))
+    baseline_throughput = 1.0 / base_pp
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"rbpf_dense_mag_particle_steps_per_s"
+                    f"[N_P={n_particles},m={m_basis}+3,T={T}]"
+                ),
+                "value": round(throughput, 1),
+                "unit": "particle-steps/s",
+                "vs_baseline": round(throughput / baseline_throughput, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

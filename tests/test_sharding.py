@@ -1,0 +1,71 @@
+"""Sharding-equivalence tests on the virtual 8-device CPU mesh: the
+GSPMD-partitioned filter step must match the single-device computation
+(SURVEY §4: the JAX substitute for fake-backend multi-node testing)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rbslam_tpu.parallel import make_mesh, sharded_step_fn, shard_rbpf_state
+from rbslam_tpu.parallel.sharded import ShardedParticleState
+
+
+def _problem(n_particles=16, m_basis=29):
+    import __graft_entry__ as g
+
+    model, state0, (y_t, u, Q, R) = g._build(
+        m_basis=m_basis, n_particles=n_particles
+    )
+    return model, ShardedParticleState(*state0), (y_t, u, Q, R)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_step_matches_single_device(mesh_shape):
+    assert len(jax.devices()) >= 8
+    model, state, (y_t, u, Q, R) = _problem()
+    mask = jnp.ones_like(y_t)
+    key = jax.random.PRNGKey(0)
+    dt = jnp.asarray(0.01)
+
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[:8])
+    step_sharded = sharded_step_fn(model, mesh, R)
+    state_sh = shard_rbpf_state(state, mesh, shard_map_axis=mesh_shape[1] > 1)
+    out_sh, ess_sh = step_sharded(key, state_sh, y_t, mask, u, Q, dt)
+
+    mesh1 = make_mesh(1, 1, devices=jax.devices()[:1])
+    step_single = sharded_step_fn(model, mesh1, R)
+    state_1 = shard_rbpf_state(state, mesh1, shard_map_axis=False)
+    out_1, ess_1 = step_single(key, state_1, y_t, mask, u, Q, dt)
+
+    np.testing.assert_allclose(
+        np.asarray(out_sh.xn), np.asarray(out_1.xn), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh.logw), np.asarray(out_1.logw), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh.xl), np.asarray(out_1.xl), atol=1e-3
+    )
+    np.testing.assert_allclose(float(ess_sh), float(ess_1), rtol=1e-4)
+
+
+def test_multi_step_sharded_chain():
+    """Several sharded steps in a row stay finite and sharded."""
+    model, state, (y_t, u, Q, R) = _problem()
+    mask = jnp.ones_like(y_t)
+    mesh = make_mesh(4, 2, devices=jax.devices()[:8])
+    step = sharded_step_fn(model, mesh, R)
+    state = shard_rbpf_state(state, mesh)
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        state, ess = step(
+            jax.random.fold_in(key, i), state, y_t, mask, u, Q,
+            jnp.asarray(0.01),
+        )
+    assert bool(jnp.all(jnp.isfinite(state.logw)))
+    assert float(ess) > 0
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(3, 2, devices=jax.devices()[:8])
