@@ -299,6 +299,82 @@ def _cpf_as_sweep(
     )
 
 
+def _run_sweeps(
+    sweep_fn, key, model, dx, y, mask, x0_nonlin, x0_lin, P0_lin,
+    Q, R, dt, config: RBPSConfig, checkpoint_dir: Optional[str],
+) -> RBPSResult:
+    """Shared sweep driver with per-sweep checkpoint/resume (the natural
+    restart boundary, SURVEY §5; reference has no mid-run resume)."""
+    T = y.shape[0]
+    n_nonlin = jnp.asarray(x0_nonlin).shape[0]
+    xnk = jnp.zeros((T, n_nonlin), dtype=y.dtype)
+
+    XNK, XLK, PK, ESS, RET = [], [], [], [], []
+    start_k = 0
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import latest_step, load_checkpoint
+
+        step = latest_step(checkpoint_dir)
+        if step is not None and step > 0:
+            like = {
+                "key": key,
+                "xnk": xnk,
+                "XNK": jnp.zeros((step, T, n_nonlin), y.dtype),
+                "XLK": jnp.zeros(
+                    (step, jnp.asarray(x0_lin).shape[-1]), y.dtype
+                ),
+                "PK": jnp.zeros(
+                    (step,) + jnp.asarray(P0_lin).shape, y.dtype
+                ),
+                "ESS": jnp.zeros((step, T), y.dtype),
+                "RET": jnp.zeros((step,), jnp.int32),
+            }
+            st = load_checkpoint(checkpoint_dir, step, like)
+            key = jnp.asarray(st["key"])
+            xnk = jnp.asarray(st["xnk"])
+            XNK = [jnp.asarray(v) for v in st["XNK"]]
+            XLK = [jnp.asarray(v) for v in st["XLK"]]
+            PK = [jnp.asarray(v) for v in st["PK"]]
+            ESS = [jnp.asarray(v) for v in st["ESS"]]
+            RET = [jnp.asarray(v) for v in st["RET"]]
+            start_k = min(step, config.n_sweeps)
+
+    for k in range(start_k, config.n_sweeps):
+        key, sub = jax.random.split(key)
+        xnk, xlk, Pk, ess, retries = sweep_fn(
+            sub, model, dx, y, mask, x0_nonlin, x0_lin, P0_lin,
+            Q, R, dt, config, xnk, k == 0,
+        )
+        XNK.append(xnk)
+        XLK.append(xlk)
+        PK.append(Pk)
+        ESS.append(ess)
+        RET.append(retries)
+        if checkpoint_dir is not None:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_dir, k + 1,
+                {
+                    "key": key,
+                    "xnk": xnk,
+                    "XNK": jnp.stack(XNK),
+                    "XLK": jnp.stack(XLK),
+                    "PK": jnp.stack(PK),
+                    "ESS": jnp.stack(ESS),
+                    "RET": jnp.stack(RET),
+                },
+            )
+
+    return RBPSResult(
+        XNK=jnp.stack(XNK),
+        XLK=jnp.stack(XLK),
+        PK=jnp.stack(PK),
+        ess=jnp.stack(ESS),
+        chol_retries=jnp.stack(RET),
+    )
+
+
 def run_rbps(
     key,
     model: Union[DenseModel, SparseModel],
@@ -312,33 +388,13 @@ def run_rbps(
     dt,
     config: RBPSConfig,
     mask: Optional[jnp.ndarray] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> RBPSResult:
     """Run N_K CPF-AS sweeps (src/particleSmoother.m:88)."""
     y = jnp.asarray(y)
     if mask is None:
         mask = jnp.isfinite(y).astype(y.dtype)
-
-    T = y.shape[0]
-    n_nonlin = jnp.asarray(x0_nonlin).shape[0]
-    xnk = jnp.zeros((T, n_nonlin), dtype=y.dtype)
-
-    XNK, XLK, PK, ESS, RET = [], [], [], [], []
-    for k in range(config.n_sweeps):
-        key, sub = jax.random.split(key)
-        xnk, xlk, Pk, ess, retries = _cpf_as_sweep(
-            sub, model, dx, y, mask, x0_nonlin, x0_lin, P0_lin,
-            Q, R, dt, config, xnk, k == 0,
-        )
-        XNK.append(xnk)
-        XLK.append(xlk)
-        PK.append(Pk)
-        ESS.append(ess)
-        RET.append(retries)
-
-    return RBPSResult(
-        XNK=jnp.stack(XNK),
-        XLK=jnp.stack(XLK),
-        PK=jnp.stack(PK),
-        ess=jnp.stack(ESS),
-        chol_retries=jnp.stack(RET),
+    return _run_sweeps(
+        _cpf_as_sweep, key, model, dx, y, mask, x0_nonlin, x0_lin,
+        P0_lin, Q, R, dt, config, checkpoint_dir,
     )

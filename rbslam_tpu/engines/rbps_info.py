@@ -232,6 +232,7 @@ def run_rbps_information_form(
     dt,
     config: RBPSConfig,
     mask: Optional[jnp.ndarray] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> RBPSResult:
     """N_K information-form CPF-AS sweeps (dense features only, :77-80)."""
     if not isinstance(model, DenseModel):
@@ -240,27 +241,20 @@ def run_rbps_information_form(
             "(as the reference, src/particleSmootherInformationForm.m:77-80); "
             "use run_rbps for sparse models"
         )
+    from .rbps import _run_sweeps
+
     y = jnp.asarray(y)
-    T = y.shape[0]
-    xnk = jnp.zeros((T, jnp.asarray(x0_nonlin).shape[0]), dtype=y.dtype)
 
-    XNK, XLK, PK, ESS, RET = [], [], [], [], []
-    for k in range(config.n_sweeps):
-        key, sub = jax.random.split(key)
-        xnk, xlk, Pk, ess, retries = _info_sweep(
+    def sweep_fn(sub, model, dx, y, mask, x0_nonlin, x0_lin, P0_lin,
+                 Q, R, dt, config, xnk, is_first):
+        del mask  # dense-only: no visibility masking
+        return _info_sweep(
             sub, model, dx, y, x0_nonlin, x0_lin, P0_lin,
-            Q, R, dt, config, xnk, k == 0,
+            Q, R, dt, config, xnk, is_first,
         )
-        XNK.append(xnk)
-        XLK.append(xlk)
-        PK.append(Pk)
-        ESS.append(ess)
-        RET.append(retries)
 
-    return RBPSResult(
-        XNK=jnp.stack(XNK),
-        XLK=jnp.stack(XLK),
-        PK=jnp.stack(PK),
-        ess=jnp.stack(ESS),
-        chol_retries=jnp.stack(RET),
+    mask_arr = jnp.ones_like(y)
+    return _run_sweeps(
+        sweep_fn, key, model, dx, y, mask_arr, x0_nonlin, x0_lin,
+        P0_lin, Q, R, dt, config, checkpoint_dir,
     )

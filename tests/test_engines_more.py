@@ -1,0 +1,198 @@
+"""Localization PF, dense EKF, sparse RBPF/RBPS, GP regression tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rbslam_tpu.engines import (
+    PFConfig,
+    RBPFConfig,
+    RBPSConfig,
+    run_pf_localization,
+    run_rbpf,
+    run_rbps,
+)
+
+
+def test_pf_localization_tracks_1d_map():
+    """PF on a toy scalar terrain: particles converge to the true path."""
+    T, n_p = 40, 400
+
+    def field(p):  # smooth informative scalar field over 2D
+        return jnp.sin(2.0 * p[0]) + jnp.cos(3.0 * p[1]) + 0.5 * p[0]
+
+    truth = jnp.stack(
+        [jnp.linspace(-1, 1, T), jnp.sin(jnp.linspace(0, 3, T))], -1
+    )
+    y = jax.vmap(field)(truth) + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(0), (T,)
+    )
+    u = jnp.diff(truth, axis=0)
+
+    def dynamics(key, xn, u_t, dt, Q):
+        return xn + u_t + 0.02 * jax.random.normal(key, xn.shape)
+
+    def log_weight(y_t, xn):
+        return -0.5 * jnp.sum(((y_t - field(xn)) / 0.1) ** 2)
+
+    init = jax.random.uniform(
+        jax.random.PRNGKey(1), (n_p, 2), minval=-1.5, maxval=1.5
+    )
+    res = run_pf_localization(
+        jax.random.PRNGKey(2), dynamics, log_weight, u, y[:, None], init,
+        jnp.eye(2), 1.0,
+        PFConfig(n_particles=n_p, resampling="systematic",
+                 ess_threshold=0.5),
+    )
+    err = jnp.linalg.norm(res.traj_mean - truth, axis=-1)
+    assert float(err[T // 2:].mean()) < 0.3, np.asarray(err)
+
+
+def test_pf_every_step_resampling_mode():
+    """ess_threshold=1.0 resamples every step (reference semantics)."""
+
+    def dynamics(key, xn, u_t, dt, Q):
+        return xn + 0.1 * jax.random.normal(key, xn.shape)
+
+    def log_weight(y_t, xn):
+        return -0.5 * jnp.sum((xn - y_t) ** 2)
+
+    T, n_p = 10, 64
+    y = jnp.zeros((T, 2))
+    res = run_pf_localization(
+        jax.random.PRNGKey(0), dynamics, log_weight,
+        jnp.zeros((T - 1, 2)), y,
+        jnp.ones((n_p, 2)), jnp.eye(2), 1.0,
+        PFConfig(n_particles=n_p, ess_threshold=1.0),
+    )
+    assert bool(jnp.all(jnp.isfinite(res.logw)))
+
+
+def _sparse_toy(key, n_landmarks=6, T=30):
+    """Tiny pinhole SLAM problem."""
+    from rbslam_tpu.models import PinholeCamera, make_pinhole2d_model
+    from rbslam_tpu.models.pinhole2d import project
+
+    cam = PinholeCamera(f=1.5, fp=0.0, fw=1.0)
+    model = make_pinhole2d_model(cam, n_landmarks)
+    k1, k2, k3 = jax.random.split(key, 3)
+    landmarks = jax.random.uniform(
+        k1, (n_landmarks, 2), minval=-2.0, maxval=2.0
+    )
+    th = jnp.linspace(0, 2 * jnp.pi, T)
+    pos = 3.0 * jnp.stack([jnp.cos(th), jnp.sin(th)], -1)
+    heading = th + jnp.pi  # face the center
+    truth = jnp.concatenate([pos, heading[:, None]], -1)
+
+    def obs(xn):
+        y, nv = project(cam, xn, landmarks)
+        return jnp.where(nv, jnp.nan, y)
+
+    y = jax.vmap(obs)(truth) + 0.01 * jax.random.normal(
+        k2, (T, n_landmarks)
+    )
+    u = jnp.diff(truth, axis=0)
+    return model, landmarks, truth, y, u
+
+
+def test_sparse_rbpf_and_rbps():
+    key = jax.random.PRNGKey(3)
+    model, landmarks, truth, y, u = _sparse_toy(key)
+    n_p = 30
+    M = landmarks.shape[0]
+    x0_lin = landmarks.reshape(-1)[None, :] + 0.3 * jax.random.normal(
+        jax.random.PRNGKey(4), (n_p, 2 * M)
+    )
+    Q = jnp.diag(jnp.asarray([0.05**2, 0.05**2, 0.01**2]))
+    R = 0.01 * jnp.eye(M)
+    res = run_rbpf(
+        jax.random.PRNGKey(5), model, u, y, truth[0],
+        x0_lin, 0.5 * jnp.eye(2 * M), Q, R, 1.0,
+        RBPFConfig(n_particles=n_p),
+    )
+    assert bool(jnp.all(jnp.isfinite(res.logw)))
+    err_map = jnp.linalg.norm(
+        res.xl_mean.reshape(M, 2) - landmarks, axis=-1
+    )
+    assert float(err_map.mean()) < 0.5, np.asarray(err_map)
+
+    cfg = RBPSConfig(n_particles=10, n_sweeps=2)
+    res_s = run_rbps(
+        jax.random.PRNGKey(6), model, u, y, truth[0],
+        x0_lin[:10], 0.5 * jnp.eye(2 * M), Q, R, 1.0, cfg,
+    )
+    assert np.all(np.isfinite(np.asarray(res_s.XNK)))
+
+
+def test_ekf_dense_runs_and_tracks():
+    from rbslam_tpu.basis import ScalarPotentialBasis, hypercube_basis
+    from rbslam_tpu.basis.spectral import linear_plus_se_spectral
+    from rbslam_tpu.data import simulate_dense_dataset
+    from rbslam_tpu.engines import run_ekf_dense
+    from rbslam_tpu.metrics import aligned_position_rmse
+    from rbslam_tpu.models.mag3d import dynamics_with_increment
+    from rbslam_tpu.workloads.dense_mag import default_Q
+
+    theta = (650.0, 1.2, 200.0, 10.0)
+    data = simulate_dense_dataset(
+        jax.random.PRNGKey(0), "bean_6D", theta, default_Q(), 0.01,
+        dynamics_with_increment, m_sim=128,
+        traj_kwargs={"n_laps": 1, "n_per_lap": 48}, with_grid=False,
+    )
+    potential = ScalarPotentialBasis(hypercube_basis(48, data.LL))
+    k = linear_plus_se_spectral(
+        jnp.asarray(np.sqrt(potential.basis.eigenvalues), jnp.float32),
+        *theta[:3], 3,
+    )
+    n = 6 + potential.n_lin
+    x0 = jnp.concatenate([data.init_state[:3], jnp.zeros(3),
+                          jnp.zeros(potential.n_lin)])
+    P0 = jnp.zeros((n, n)).at[6:, 6:].set(jnp.diag(k))
+    res = run_ekf_dense(
+        potential, data.dx, data.y, x0, data.init_state[3:7], P0,
+        default_Q(), theta[3] * jnp.eye(3), 0.01,
+    )
+    assert np.all(np.isfinite(np.asarray(res.x_traj)))
+    rmse = float(
+        aligned_position_rmse(jnp.asarray(data.pos), res.x_traj[:, :3])
+    )
+    assert rmse < 2.0, rmse
+
+
+def test_gp_regression_recovers_field():
+    from rbslam_tpu.data.fields import draw_scalar_potential_field
+    from rbslam_tpu.gp import fit_scalar_potential_gp
+
+    LL = np.array([[-2.0, -2.0, -0.5], [2.0, 2.0, 0.5]])
+    key = jax.random.PRNGKey(0)
+    xs = jax.random.uniform(key, (300, 3), minval=-1.8, maxval=1.8)
+    xs = xs.at[:, 2].multiply(0.2)
+    theta = (5.0, 0.8, 20.0, 0.5)
+    d = draw_scalar_potential_field(key, xs, 256, LL, theta)
+    gp = fit_scalar_potential_gp(
+        np.asarray(xs), np.asarray(d.y), 128, LL, theta, optimize=False
+    )
+    mean, var = gp.predict_gradient(xs)
+    rmse = float(jnp.sqrt(jnp.mean((mean - d.df) ** 2)))
+    assert rmse < 3.0, rmse
+    assert np.isfinite(gp.nll)
+
+
+def test_gp_hyperparameter_optimization_improves_nll():
+    from rbslam_tpu.data.fields import draw_scalar_potential_field
+    from rbslam_tpu.gp import fit_scalar_potential_gp
+
+    LL = np.array([[-2.0, -2.0, -0.5], [2.0, 2.0, 0.5]])
+    key = jax.random.PRNGKey(1)
+    xs = jax.random.uniform(key, (200, 3), minval=-1.8, maxval=1.8)
+    theta_true = (5.0, 0.8, 20.0, 0.5)
+    d = draw_scalar_potential_field(key, xs, 256, LL, theta_true)
+    theta_bad = (5.0, 0.3, 5.0, 2.0)
+    gp0 = fit_scalar_potential_gp(
+        np.asarray(xs), np.asarray(d.y), 64, LL, theta_bad, optimize=False
+    )
+    gp1 = fit_scalar_potential_gp(
+        np.asarray(xs), np.asarray(d.y), 64, LL, theta_bad,
+        optimize=True, maxiter=30,
+    )
+    assert gp1.nll < gp0.nll - 1.0, (gp0.nll, gp1.nll)
