@@ -44,12 +44,7 @@ def _build_problem(m_basis, n_particles, n_steps, seed=1):
     )
     potential = ScalarPotentialBasis(hypercube_basis(m_basis, data.LL))
     center = jnp.asarray(domain_center(data.LL), jnp.float32)
-    base = make_mag3d_model(potential)
-
-    def meas_jacobian(xn):
-        return quat_to_rmat(xn[3:7]).T @ potential.grad_blocks(xn[:3] - center)
-
-    model = base._replace(meas_jacobian=meas_jacobian)
+    model = make_mag3d_model(potential, center=center)
     k = linear_plus_se_spectral(
         jnp.asarray(np.sqrt(potential.basis.eigenvalues), jnp.float32),
         theta[0], theta[1], theta[2], 3,

@@ -112,11 +112,19 @@ def reconstruct_trajectories(xn_hist, ancestors):
     return jnp.take_along_axis(xn_hist, idx_full[:, :, None], axis=1)
 
 
+def _jacobian_batch(model, xn):
+    """Whole-ensemble measurement Jacobian: the fused-kernel hook when
+    the model provides one, else vmap of the per-particle Jacobian."""
+    if getattr(model, "meas_jacobian_batch", None) is not None:
+        return model.meas_jacobian_batch(xn)
+    return jax.vmap(model.meas_jacobian)(xn)
+
+
 def _measurement_update(model, xn, xl, P, y_t, R, mask_t, jitter, joseph):
     """Vmapped weight + KF update for one time step; returns
     (xl', P', logw, retries)."""
     if isinstance(model, DenseModel):
-        C = jax.vmap(model.meas_jacobian)(xn)            # [P, ny, nl]
+        C = _jacobian_batch(model, xn)                   # [P, ny, nl]
         xl_new, P_new, logw, retried = jax.vmap(
             lambda Ci, Pi, xli: kalman_update_dense(
                 Ci, Pi, xli, y_t, R, jitter, joseph

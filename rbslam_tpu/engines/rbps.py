@@ -49,6 +49,7 @@ from ..ops.resampling import resample_indices, sample_categorical
 from .rbpf import (
     _broadcast_time,
     _init_linear,
+    _jacobian_batch,
     _measurement_update,
     reconstruct_trajectories,
 )
@@ -206,7 +207,7 @@ def _cpf_as_sweep(
     xl0, P0 = _init_linear(x0_lin, P0_lin, n_p)
 
     if dense and not is_first:
-        C_ref = jax.vmap(model.meas_jacobian)(xnk)     # [T, ny, n_lin] (:119-121)
+        C_ref = _jacobian_batch(model, xnk)     # [T, ny, n_lin] (:119-121)
         C_stack = C_ref.reshape(T * ny, -1)
         y_stack = jnp.nan_to_num(y).reshape(T * ny)
     else:

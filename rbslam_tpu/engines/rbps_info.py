@@ -44,7 +44,12 @@ from ..models.base import DenseModel
 from ..ops.kalman import innovation_cov
 from ..ops.resampling import resample_indices, sample_categorical
 from ..math.linalg import gaussian_logpdf_chol, solve_psd
-from .rbpf import _broadcast_time, _init_linear, reconstruct_trajectories
+from .rbpf import (
+    _broadcast_time,
+    _init_linear,
+    _jacobian_batch,
+    reconstruct_trajectories,
+)
 from .rbps import RBPSConfig, RBPSResult, _dyn_log_weights
 
 
@@ -122,7 +127,7 @@ def _info_sweep(
     hldp0 = jnp.full((n_p,), 0.5 * jnp.sum(jnp.log(p0_diag)), dtype=y.dtype)
 
     if not is_first:
-        C_ref = jax.vmap(model.meas_jacobian)(xnk)      # [T, ny, n_lin]
+        C_ref = _jacobian_batch(model, xnk)      # [T, ny, n_lin]
         # whole-trajectory suffix pair (:132-146)
         ivec_add0 = jnp.einsum("tik,ij,tj->k", C_ref, Rinv, y)
         Imat_add0 = jnp.einsum("tki,kl,tlj->ij", C_ref, Rinv, C_ref)
@@ -132,7 +137,7 @@ def _info_sweep(
         Imat_add0 = jnp.zeros((model.n_lin, model.n_lin), dtype=y.dtype)
 
     def meas_all(xn, xl, P, ivec, Imat, hldp, y_t):
-        C = jax.vmap(model.meas_jacobian)(xn)
+        C = _jacobian_batch(model, xn)
         return jax.vmap(
             lambda Ci, Pi, xli, iv, Im, hl: _kf_update_with_info(
                 Ci, Pi, xli, iv, Im, hl, y_t, R, Rinv, config.jitter

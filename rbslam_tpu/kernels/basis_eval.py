@@ -1,0 +1,196 @@
+"""Pallas TPU kernels: fused Laplacian-eigenbasis evaluation.
+
+The dense measurement path evaluates sin/cos products of the eigenbasis
+at every particle position every step (O(N_P * m * d) transcendentals —
+the VPU-bound hot op identified in SURVEY §3.1). These kernels tile the
+(points x basis) plane, keep the phase/trig intermediates entirely in
+VMEM, and emit the gradient components for all d dimensions from ONE set
+of sin/cos evaluations — the jnp path (basis/laplace.py) re-evaluates
+the trig per output component, so the fused kernel does ~d x fewer
+transcendentals for the gradient blocks.
+
+Math (tools/domain_cartesian_dx.m:88-93,146-170):
+    phi_n(x)        = prod_j L_j^{-1/2} sin(a_nj),
+    d phi_n / d x_i = f_ni cos(a_ni) prod_{j != i} sin(a_nj) * scale,
+    a_nj = freq_nj * x_j + phase_nj,
+    freq_nj = pi n_j / (2 L_j), phase_nj = pi n_j / 2,
+    f_ni = pi n_i / (2 L_i),  scale = prod_j L_j^{-1/2}.
+
+Layouts: positions are passed transposed [d, N] so the point axis is the
+128-lane dimension; per-basis constants pack as rows [freq; phase; fac]
+of a [3d, m] matrix. Inputs are padded to tile multiples here;
+`interpret=True` is selected automatically off-TPU so tests run on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TN = 256   # points per tile
+_TM = 128   # basis functions per tile
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_axis(x, n, axis):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _phi_kernel(d: int, xT_ref, nn_ref, scale_ref, out_ref):
+    """One (TN, TM) tile of phi."""
+    acc = jnp.full((_TN, _TM), scale_ref[0, 0], dtype=jnp.float32)
+    for j in range(d):
+        a = (
+            xT_ref[j, :][:, None] * nn_ref[j, :][None, :]
+            + nn_ref[d + j, :][None, :]
+        )
+        acc = acc * jnp.sin(a)
+    out_ref[:, :] = acc
+
+
+def _grad_kernel(d: int, xT_ref, nn_ref, scale_ref, out_ref):
+    """One (d, TN, TM) tile of grad phi; trig shared across output dims."""
+    sins = []
+    coss = []
+    for j in range(d):
+        a = (
+            xT_ref[j, :][:, None] * nn_ref[j, :][None, :]
+            + nn_ref[d + j, :][None, :]
+        )
+        sins.append(jnp.sin(a))
+        coss.append(jnp.cos(a))
+    scale = scale_ref[0, 0]
+    for i in range(d):
+        prod = nn_ref[2 * d + i, :][None, :] * coss[i]
+        for j in range(d):
+            if j != i:
+                prod = prod * sins[j]
+        out_ref[i, :, :] = scale * prod
+
+
+def _pack_constants(NN, L):
+    """Rows: freq [d, m], phase [d, m], fac [d, m] -> [3d, m] float32."""
+    NN = np.asarray(NN, np.float64)
+    L = np.asarray(L, np.float64).reshape(-1)
+    freq = (np.pi * NN / (2.0 * L)).T
+    phase = (np.pi * NN / 2.0).T
+    fac = (np.pi * NN / (2.0 * L)).T
+    return np.concatenate([freq, phase, fac], axis=0).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _phi_call(xT_pad, nn_pack, scale, d: int):
+    n_pad = xT_pad.shape[1]
+    m_pad = nn_pack.shape[1]
+    grid = (n_pad // _TN, m_pad // _TM)
+    return pl.pallas_call(
+        functools.partial(_phi_kernel, d),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, _TN), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d, _TM), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, _TM), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(xT_pad, nn_pack, scale)
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _grad_call(xT_pad, nn_pack, scale, d: int):
+    n_pad = xT_pad.shape[1]
+    m_pad = nn_pack.shape[1]
+    grid = (n_pad // _TN, m_pad // _TM)
+    return pl.pallas_call(
+        functools.partial(_grad_kernel, d),
+        out_shape=jax.ShapeDtypeStruct((d, n_pad, m_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, _TN), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d, _TM), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((d, _TN, _TM), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(xT_pad, nn_pack, scale)
+
+
+class _BasisKernels:
+    """Per-basis cached packed constants."""
+
+    def __init__(self, basis):
+        self.d = basis.d
+        self.m = basis.m
+        m_pad = -(-self.m // _TM) * _TM
+        pack = jnp.asarray(_pack_constants(basis.NN, basis.L))
+        self.nn_pack = _pad_axis(pack, m_pad, 1)
+        L = np.asarray(basis.L, np.float64)
+        self.scale = jnp.asarray(
+            [[float(np.prod(1.0 / np.sqrt(L)))]], jnp.float32
+        )
+
+
+_CACHE: dict = {}
+
+
+def _kernels_for(basis) -> _BasisKernels:
+    # content-derived key (id() can be reused after garbage collection)
+    key = (
+        basis.m, basis.d,
+        np.asarray(basis.L).tobytes(),
+        np.asarray(basis.NN).tobytes(),
+    )
+    if key not in _CACHE:
+        _CACHE[key] = _BasisKernels(basis)
+    return _CACHE[key]
+
+
+def _prep_x(basis, x):
+    """Shift by +L (fold into phase? phase already includes pi n/2 which
+    equals freq * L) and transpose/pad to [d, N_pad].
+
+    a = pi n (x + L) / (2L) = freq * x + pi n / 2 — the +L shift is
+    exactly the packed phase, so x is used as-is.
+    """
+    n = x.shape[0]
+    n_pad = -(-n // _TN) * _TN
+    xT = jnp.asarray(x, jnp.float32).T
+    return _pad_axis(xT, n_pad, 1), n
+
+
+def phi_basis_pallas(basis, x):
+    """phi(x): [N, d] -> [N, m] via the fused Pallas kernel."""
+    bk = _kernels_for(basis)
+    xT_pad, n = _prep_x(basis, x)
+    out = _phi_call(xT_pad, bk.nn_pack, bk.scale, bk.d)
+    return out[:n, : bk.m]
+
+
+def grad_basis_pallas(basis, x):
+    """grad phi(x): [N, d] -> [N, d, m] via the fused Pallas kernel."""
+    bk = _kernels_for(basis)
+    xT_pad, n = _prep_x(basis, x)
+    out = _grad_call(xT_pad, bk.nn_pack, bk.scale, bk.d)
+    return jnp.transpose(out[:, :n, : bk.m], (1, 0, 2))

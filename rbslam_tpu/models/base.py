@@ -38,6 +38,11 @@ class DenseModel(NamedTuple):
     n_nonlin: int
     n_lin: int
     ny: int
+    # optional whole-ensemble Jacobian (xn [P, dn]) -> C [P, ny, n_lin];
+    # used by the engines instead of vmap(meas_jacobian) when present —
+    # the hook for fused Pallas basis-evaluation kernels that need the
+    # full batch to tile (kernels/basis_eval.py)
+    meas_jacobian_batch: Optional[Callable] = None
 
 
 class SparseModel(NamedTuple):

@@ -44,8 +44,19 @@ def dynamics_with_increment(key, xn, u, dt, Q):
     return jnp.concatenate([p_new, q_new]), dq
 
 
-def make_mag3d_model(potential: ScalarPotentialBasis) -> DenseModel:
+def make_mag3d_model(
+    potential: ScalarPotentialBasis,
+    center=None,
+    use_pallas_basis: bool = False,
+) -> DenseModel:
+    """Build the dense magnetic model.
+
+    ``center`` shifts positions into the basis' centered domain;
+    ``use_pallas_basis`` routes the whole-ensemble Jacobian through the
+    fused Pallas basis kernel (kernels/basis_eval.py).
+    """
     n_lin = potential.n_lin
+    c = jnp.zeros(3) if center is None else jnp.asarray(center)
 
     def dynamics(key, xn, u, dt, Q):
         xn_new, _ = dynamics_with_increment(key, xn, u, dt, Q)
@@ -60,9 +71,23 @@ def make_mag3d_model(potential: ScalarPotentialBasis) -> DenseModel:
         return jax.scipy.linalg.solve_triangular(L, e, lower=True)
 
     def meas_jacobian(xn):
-        C_nav = potential.grad_blocks(xn[_IPOS])          # [3, 3+m]
+        C_nav = potential.grad_blocks(xn[_IPOS] - c)      # [3, 3+m]
         Rnb = quat_to_rmat(xn[_IQUAT])                    # [3, 3]
         return Rnb.T @ C_nav
+
+    meas_jacobian_batch = None
+    if use_pallas_basis:
+        from ..kernels import grad_basis_pallas
+
+        def meas_jacobian_batch(xn):
+            pos = xn[:, _IPOS] - c
+            g = grad_basis_pallas(potential.basis, pos)   # [P, 3, m]
+            eye = jnp.broadcast_to(
+                jnp.eye(3, dtype=xn.dtype), g.shape[:-1] + (3,)
+            )
+            C_nav = jnp.concatenate([eye, g], axis=-1)    # [P, 3, 3+m]
+            Rnb = quat_to_rmat(xn[:, _IQUAT])
+            return jnp.einsum("pji,pjk->pik", Rnb, C_nav)
 
     return DenseModel(
         dynamics=dynamics,
@@ -71,4 +96,5 @@ def make_mag3d_model(potential: ScalarPotentialBasis) -> DenseModel:
         n_nonlin=7,
         n_lin=n_lin,
         ny=3,
+        meas_jacobian_batch=meas_jacobian_batch,
     )

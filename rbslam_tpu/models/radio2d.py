@@ -28,8 +28,13 @@ def _heading_rot_T(theta):
     return jnp.array([[c, s], [-s, c]])
 
 
-def make_radio2d_model(basis: LaplaceBasis) -> DenseModel:
+def make_radio2d_model(
+    basis: LaplaceBasis,
+    center=None,
+    use_pallas_basis: bool = False,
+) -> DenseModel:
     m = basis.m
+    c = jnp.zeros(2) if center is None else jnp.asarray(center)
 
     def dynamics(key, xn, u, dt, Q):
         p, theta = xn[:2], xn[2]
@@ -45,7 +50,14 @@ def make_radio2d_model(basis: LaplaceBasis) -> DenseModel:
         return ((xn_ref[2] - xn[2] - u[2]) / sigma)[None]
 
     def meas_jacobian(xn):
-        return basis.phi(xn[:2])[None, :]  # [1, m]
+        return basis.phi(xn[:2] - c)[None, :]  # [1, m]
+
+    meas_jacobian_batch = None
+    if use_pallas_basis:
+        from ..kernels import phi_basis_pallas
+
+        def meas_jacobian_batch(xn):
+            return phi_basis_pallas(basis, xn[:, :2] - c)[:, None, :]
 
     return DenseModel(
         dynamics=dynamics,
@@ -54,4 +66,5 @@ def make_radio2d_model(basis: LaplaceBasis) -> DenseModel:
         n_nonlin=3,
         n_lin=m,
         ny=1,
+        meas_jacobian_batch=meas_jacobian_batch,
     )

@@ -72,15 +72,7 @@ def build_problem(cfg: DenseMagConfig, key):
 
     potential = ScalarPotentialBasis(hypercube_basis(cfg.m_basis, data.LL))
     center = jnp.asarray(domain_center(data.LL), jnp.float32)
-    base = make_mag3d_model(potential)
-
-    def meas_jacobian(xn):
-        from ..math.quaternions import quat_to_rmat
-
-        C_nav = potential.grad_blocks(xn[:3] - center)
-        return quat_to_rmat(xn[3:7]).T @ C_nav
-
-    model = base._replace(meas_jacobian=meas_jacobian)
+    model = make_mag3d_model(potential, center=center)
     k = linear_plus_se_spectral(
         jnp.asarray(np.sqrt(potential.basis.eigenvalues), jnp.float32),
         cfg.theta[0], cfg.theta[1], cfg.theta[2], 3,

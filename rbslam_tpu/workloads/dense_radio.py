@@ -74,9 +74,7 @@ def build_problem(cfg: DenseRadioConfig, key, field_weights=None):
     )
     basis = hypercube_basis(cfg.m_basis, data.LL)
     center = jnp.asarray(domain_center(data.LL), jnp.float32)
-    model = make_radio2d_model(basis)._replace(
-        meas_jacobian=lambda xn: basis.phi(xn[:2] - center)[None, :]
-    )
+    model = make_radio2d_model(basis, center=center)
     k = se_spectral_density(
         jnp.asarray(np.sqrt(basis.eigenvalues), jnp.float32),
         cfg.theta[0], cfg.theta[1], 2,

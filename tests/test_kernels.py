@@ -1,0 +1,43 @@
+"""Pallas basis-eval kernels match the jnp reference implementation
+(interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rbslam_tpu.basis import hypercube_basis
+from rbslam_tpu.kernels import grad_basis_pallas, phi_basis_pallas
+
+
+def test_phi_kernel_matches_reference():
+    basis = hypercube_basis(50, np.array([2.0, 1.5, 1.0]))
+    x = jax.random.uniform(
+        jax.random.PRNGKey(0), (37, 3), minval=-0.9, maxval=0.9
+    )
+    ref = basis.phi(x)
+    out = phi_basis_pallas(basis, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_grad_kernel_matches_reference():
+    basis = hypercube_basis(40, np.array([1.0, 1.0, 0.5]))
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (19, 3), minval=-0.4, maxval=0.4
+    )
+    ref = basis.grad_phi(x)          # [N, d, m]
+    out = grad_basis_pallas(basis, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_phi_kernel_2d():
+    basis = hypercube_basis(16, np.array([3.0, 3.0]))
+    x = jax.random.uniform(
+        jax.random.PRNGKey(2), (300, 2), minval=-2.5, maxval=2.5
+    )
+    np.testing.assert_allclose(
+        np.asarray(phi_basis_pallas(basis, x)),
+        np.asarray(basis.phi(x)),
+        atol=1e-4, rtol=1e-4,
+    )

@@ -42,14 +42,7 @@ def _radio_setup(m_est=32):
     basis = hypercube_basis(m_est, data.LL)
     center = jnp.asarray(domain_center(data.LL), jnp.float32)
 
-    # estimation operates in the centered domain: shift positions inside
-    # the measurement Jacobian by wrapping the model
-    model = make_radio2d_model(basis)
-
-    def meas_jacobian(xn):
-        return basis.phi(xn[:2] - center)[None, :]
-
-    model = model._replace(meas_jacobian=meas_jacobian)
+    model = make_radio2d_model(basis, center=center)
     k = se_spectral_density(
         jnp.asarray(np.sqrt(basis.eigenvalues), jnp.float32),
         THETA[0], THETA[1], 2,
