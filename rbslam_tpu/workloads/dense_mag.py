@@ -165,8 +165,39 @@ def run(cfg: DenseMagConfig) -> dict:
     return out
 
 
+def run_comparison(cfg: DenseMagConfig, disturbances=(0.0, 1.0, 5.0, 10.0),
+                   n_sim: int = 20) -> dict:
+    """EKF vs PF vs PS RMSE distributions under constant disturbances —
+    the reference's boxplot experiment (main.m:37-60, boxplot-mag.png:
+    all RMSE <= 0.3 m)."""
+    rows = {}
+    for o in disturbances:
+        ekf, pf, ps = [], [], []
+        for i in range(n_sim):
+            r = run(
+                DenseMagConfig(**{
+                    **cfg.__dict__,
+                    "mag_disturbance": (0.0, float(o), 0.0),
+                    "seed": cfg.seed + i,
+                })
+            )
+            ekf.append(r["rmse_ekf_pos"])
+            pf.append(r["rmse_filter_pos"][1])       # weighted mean
+            ps.append(r["rmse_smoother_pos"][-1])    # final sweep
+        rows[str(o)] = {
+            "ekf": {"mean": float(np.mean(ekf)), "max": float(np.max(ekf))},
+            "pf": {"mean": float(np.mean(pf)), "max": float(np.max(pf))},
+            "ps": {"mean": float(np.mean(ps)), "max": float(np.max(ps))},
+        }
+    return {"workload": "slam-dense-mag-comparison", "n_sim": n_sim,
+            "rmse_by_disturbance": rows}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--compare", action="store_true",
+                    help="disturbance-sweep EKF/PF/PS comparison (main.m:37-60)")
+    ap.add_argument("--nsim", type=int, default=20)
     ap.add_argument("--particles", type=int, default=100)
     ap.add_argument("--sweeps", type=int, default=10)
     ap.add_argument("--basis", type=int, default=512)
@@ -189,7 +220,14 @@ def main(argv=None):
         run_ekf=not args.no_ekf,
         seed=args.seed,
     )
-    report(run(cfg))
+    if args.compare:
+        report(run_comparison(
+            cfg,
+            disturbances=(0.0, 1.0) if args.quick else (0.0, 1.0, 5.0, 10.0),
+            n_sim=2 if args.quick else args.nsim,
+        ))
+    else:
+        report(run(cfg))
 
 
 if __name__ == "__main__":
