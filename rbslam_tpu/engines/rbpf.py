@@ -35,7 +35,10 @@ import jax.numpy as jnp
 
 from ..math.linalg import ess_from_logw, logsumexp_normalize
 from ..models.base import DenseModel, SparseModel
-from ..ops.kalman import kalman_update_dense, kalman_update_masked
+from ..ops.kalman import (
+    kalman_update_dense_batched,
+    kalman_update_masked_batched,
+)
 from ..ops.resampling import resample_indices
 
 
@@ -125,18 +128,14 @@ def _measurement_update(model, xn, xl, P, y_t, R, mask_t, jitter, joseph):
     (xl', P', logw, retries)."""
     if isinstance(model, DenseModel):
         C = _jacobian_batch(model, xn)                   # [P, ny, nl]
-        xl_new, P_new, logw, retried = jax.vmap(
-            lambda Ci, Pi, xli: kalman_update_dense(
-                Ci, Pi, xli, y_t, R, jitter, joseph
-            )
-        )(C, P, xl)
+        xl_new, P_new, logw, retried = kalman_update_dense_batched(
+            C, P, xl, y_t, R, jitter, joseph
+        )
     else:
         yhat, H = jax.vmap(model.measure)(xn, xl)        # [P, ny], [P, ny, nl]
-        xl_new, P_new, logw, retried = jax.vmap(
-            lambda yh, Hi, Pi, xli: kalman_update_masked(
-                yh, Hi, Pi, xli, y_t, R, mask_t, jitter
-            )
-        )(yhat, H, P, xl)
+        xl_new, P_new, logw, retried = kalman_update_masked_batched(
+            yhat, H, P, xl, y_t, R, mask_t, jitter
+        )
     return xl_new, P_new, logw, jnp.sum(retried)
 
 

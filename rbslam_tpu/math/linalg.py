@@ -33,8 +33,14 @@ def psd_cholesky(A, jitter: float):
     L = jnp.linalg.cholesky(A)
     bad = ~jnp.all(jnp.isfinite(L), axis=(-2, -1))
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)
-    L_j = jnp.linalg.cholesky(A + jitter * eye)
-    L = jnp.where(bad[..., None, None], L_j, L)
+
+    def refactor(_):
+        L_j = jnp.linalg.cholesky(A + jitter * eye)
+        return jnp.where(bad[..., None, None], L_j, L)
+
+    # the retry is rare: guard the second factorization behind a cond so
+    # the common path costs a single Cholesky
+    L = jax.lax.cond(jnp.any(bad), refactor, lambda _: L, None)
     return L, bad
 
 

@@ -7,7 +7,9 @@ from .resampling import (
 )
 from .kalman import (
     kalman_update_dense,
+    kalman_update_dense_batched,
     kalman_update_masked,
+    kalman_update_masked_batched,
     dense_log_weights,
     masked_log_weights,
 )
@@ -16,5 +18,6 @@ __all__ = [
     "multinomial_resample", "systematic_resample", "stratified_resample",
     "sample_categorical", "resample_indices",
     "kalman_update_dense", "kalman_update_masked",
+    "kalman_update_dense_batched", "kalman_update_masked_batched",
     "dense_log_weights", "masked_log_weights",
 ]

@@ -101,6 +101,50 @@ def masked_log_weights(yhat, H, P, y, R, mask, jitter: float):
     return logw, e_m, L, Hm, retried
 
 
+def kalman_update_dense_batched(C, P, xl, y, R, jitter: float,
+                                joseph: bool = False):
+    """Whole-ensemble dense KF update: C [N,ny,nl], P [N,nl,nl], xl [N,nl].
+
+    Same math as :func:`kalman_update_dense` but with one *batched*
+    Cholesky whose jitter retry is a single `lax.cond` outside any vmap —
+    the common path costs one factorization (under vmap the cond would
+    lower to a select that always runs both).
+    Returns (xl', P', logw [N], retried [N]).
+    """
+    e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl)
+    CP = jnp.einsum("pij,pjk->pik", C, P)
+    S = jnp.einsum("pik,pjk->pij", CP, C) + R
+    L, retried = psd_cholesky(S, jitter)
+    logw = gaussian_logpdf_chol(e, L)
+    K = jnp.swapaxes(solve_psd(L, CP), -1, -2)          # [N, nl, ny]
+    xl_new = xl + jnp.einsum("pij,pj->pi", K, e)
+    if joseph:
+        n = P.shape[-1]
+        IKC = jnp.eye(n, dtype=P.dtype) - K @ C
+        P_new = IKC @ P @ jnp.swapaxes(IKC, -1, -2) + K @ R @ jnp.swapaxes(K, -1, -2)
+    else:
+        P_new = P - K @ S @ jnp.swapaxes(K, -1, -2)
+    return xl_new, symmetrize(P_new), logw, retried
+
+
+def kalman_update_masked_batched(yhat, H, P, xl, y, R, mask, jitter: float):
+    """Whole-ensemble masked (sparse/EKF) update; see
+    :func:`kalman_update_masked`. yhat [N,ny], H [N,ny,nl]."""
+    m = mask
+    Hm = H * m[None, :, None]
+    e = (jnp.nan_to_num(y)[None, :] - yhat) * m[None, :]
+    R_m = R * (m[:, None] * m[None, :])
+    PHt = P @ jnp.swapaxes(Hm, -1, -2)                  # [N, nl, ny]
+    S = jnp.einsum("pij,pjk->pik", Hm, PHt) + R_m + jnp.diag(1.0 - m)
+    L, retried = psd_cholesky(S, jitter)
+    n_obs = jnp.sum(m)
+    logw = gaussian_logpdf_chol(e, L, n_obs=n_obs)
+    K = jnp.swapaxes(solve_psd(L, jnp.swapaxes(PHt, -1, -2)), -1, -2)
+    xl_new = xl + jnp.einsum("pij,pj->pi", K, e)
+    P_new = P - K @ S @ jnp.swapaxes(K, -1, -2)
+    return xl_new, symmetrize(P_new), logw, retried
+
+
 def kalman_update_masked(yhat, H, P, xl, y, R, mask, jitter: float):
     """Sparse/EKF masked measurement update; returns (xl', P', logw, retried)."""
     logw, e_m, L, Hm, retried = masked_log_weights(
