@@ -126,6 +126,9 @@ def numpy_baseline_per_step(m_basis, n_particles, n_steps=8):
 
 
 def main():
+    from rbslam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--particles", type=int, default=1024)

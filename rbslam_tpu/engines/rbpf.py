@@ -48,6 +48,9 @@ class RBPFConfig(NamedTuple):
     jitter: float = 1e-3              # src/particleFilter.m:89
     joseph: bool = False
     store_trajectories: bool = True
+    # fuse the resampling gather of P with the KF update via the Pallas
+    # kernels (kernels/kf_update.py); dense models with ny <= 3 only
+    use_fused_kf: bool = False
 
 
 class RBPFResult(NamedTuple):
@@ -165,6 +168,11 @@ def run_rbpf(
     """
     n_p = config.n_particles
     T = y.shape[0]
+    fused = (
+        config.use_fused_kf
+        and isinstance(model, DenseModel)
+        and model.ny <= 3
+    )
     y = jnp.asarray(y)
     if mask is None:
         mask = jnp.isfinite(y).astype(y.dtype)
@@ -193,17 +201,26 @@ def run_rbpf(
         ai = resample_indices(k_res, w, n_p, config.resampling)
         xn_anc = jnp.take(xn, ai, axis=0)
         xl_anc = jnp.take(xl, ai, axis=0)
-        P_anc = jnp.take(P, ai, axis=0)
 
         dyn_keys = jax.random.split(k_dyn, n_p)
         xn_new = jax.vmap(
             lambda kk, x: model.dynamics(kk, x, u, dt_t, Q_t)
         )(dyn_keys, xn_anc)
 
-        xl_new, P_new, logw, retried = _measurement_update(
-            model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
-            config.jitter, config.joseph,
-        )
+        if fused:
+            from ..kernels.kf_update import fused_gather_kf_update_2pass
+
+            C = _jacobian_batch(model, xn_new)
+            xl_new, P_new, logw, retried_b = fused_gather_kf_update_2pass(
+                ai, C, xl_anc, P, y_t, R, config.jitter
+            )
+            retried = jnp.sum(retried_b)
+        else:
+            P_anc = jnp.take(P, ai, axis=0)
+            xl_new, P_new, logw, retried = _measurement_update(
+                model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
+                config.jitter, config.joseph,
+            )
         w_new, logw_nn, logz = logsumexp_normalize(logw)
 
         iw_max = jnp.argmax(logw_nn)

@@ -194,6 +194,9 @@ def run_comparison(cfg: DenseMagConfig, disturbances=(0.0, 1.0, 5.0, 10.0),
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--compare", action="store_true",
                     help="disturbance-sweep EKF/PF/PS comparison (main.m:37-60)")

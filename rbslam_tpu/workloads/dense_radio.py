@@ -154,6 +154,9 @@ def run(cfg: DenseRadioConfig) -> dict:
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--traj", default="line_3D",
                     choices=["line_3D", "square_3D"])

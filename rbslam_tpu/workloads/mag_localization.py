@@ -246,6 +246,9 @@ def run(cfg: MagLocalizationConfig) -> dict:
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--particles", type=int, default=1000)
     ap.add_argument("--basis", type=int, default=1000)

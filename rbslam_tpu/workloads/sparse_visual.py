@@ -130,6 +130,9 @@ def run(cfg: SparseVisualConfig) -> dict:
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--particles", type=int, default=100)
     ap.add_argument("--ps-particles", type=int, default=10)

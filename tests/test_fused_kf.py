@@ -1,0 +1,73 @@
+"""Fused gather+KF Pallas kernels match the XLA path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rbslam_tpu.engines import RBPFConfig, run_rbpf
+from rbslam_tpu.kernels import (
+    fused_gather_kf_update,
+    fused_gather_kf_update_2pass,
+)
+from rbslam_tpu.ops.kalman import kalman_update_dense_batched
+
+from test_rbpf import _radio_setup, THETA
+
+
+def _problem(N=16, ny=3, nl=40, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    A = jax.random.normal(k1, (N, nl, nl)) * 0.2
+    P = jnp.einsum("pij,pkj->pik", A, A) + jnp.eye(nl)
+    xl = jax.random.normal(k2, (N, nl))
+    C = jax.random.normal(k3, (N, ny, nl)) * 0.5
+    y = jax.random.normal(k4, (ny,))
+    R = 0.5 * jnp.eye(ny)
+    ai = jax.random.randint(k5, (N,), 0, N)
+    return ai, C, P, xl, y, R
+
+
+@pytest.mark.parametrize("ny", [1, 2, 3])
+def test_single_kernel_matches_reference(ny):
+    ai, C, P, xl, y, R = _problem(ny=ny)
+    Pg = jnp.take(P, ai, axis=0)
+    xlg = jnp.take(xl, ai, axis=0)
+    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
+    out = fused_gather_kf_update(ai, C, xlg, P, y, R)
+    np.testing.assert_allclose(out[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(out[1], ref[1], atol=1e-5)
+    np.testing.assert_allclose(out[2], ref[2], atol=1e-5)
+
+
+def test_two_pass_matches_reference():
+    ai, C, P, xl, y, R = _problem()
+    Pg = jnp.take(P, ai, axis=0)
+    xlg = jnp.take(xl, ai, axis=0)
+    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
+    out = fused_gather_kf_update_2pass(ai, C, xlg, P, y, R)
+    np.testing.assert_allclose(out[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(out[1], ref[1], atol=1e-5)
+    np.testing.assert_allclose(out[2], ref[2], atol=1e-5)
+
+
+def test_rbpf_with_fused_kf_equivalent():
+    """Full filter run: fused path == XLA path on the radio workload."""
+    data, model, basis, center, k, Q = _radio_setup()
+    base = dict(n_particles=16, resampling="systematic")
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    res_a = run_rbpf(jax.random.PRNGKey(0), *args, RBPFConfig(**base))
+    res_b = run_rbpf(
+        jax.random.PRNGKey(0), *args,
+        RBPFConfig(**base, use_fused_kf=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.traj_mean), np.asarray(res_b.traj_mean), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-3
+    )
