@@ -118,6 +118,13 @@ def reconstruct_trajectories(xn_hist, ancestors):
     return jnp.take_along_axis(xn_hist, idx_full[:, :, None], axis=1)
 
 
+def _pad_cols(C, n_cols):
+    pad = n_cols - C.shape[-1]
+    if pad:
+        C = jnp.pad(C, ((0, 0), (0, 0), (0, pad)))
+    return C
+
+
 def _jacobian_batch(model, xn):
     """Whole-ensemble measurement Jacobian: the fused-kernel hook when
     the model provides one, else vmap of the per-particle Jacobian."""
@@ -184,12 +191,28 @@ def run_rbpf(
         jnp.asarray(x0_nonlin), (n_p,) + jnp.asarray(x0_nonlin).shape
     )
     xl0, P0 = _init_linear(x0_lin, P0_lin, n_p)
+    n_lin = xl0.shape[-1]
+    if fused:
+        # Mosaic DMA slices need the covariance dims 8-aligned; carry the
+        # linear state zero-padded through the scan and slice at the end
+        pad = (-n_lin) % 8
+        if pad:
+            xl0 = jnp.pad(xl0, ((0, 0), (0, pad)))
+            P0 = jnp.pad(P0, ((0, 0), (0, pad), (0, pad)))
 
     # --- step t = 0: no prediction (src/particleFilter.m:103) ---
     key, k0 = jax.random.split(key)
-    xl1, P1, logw1, retries0 = _measurement_update(
-        model, xn0, xl0, P0, y[0], R, mask[0], config.jitter, config.joseph
-    )
+    if fused:
+        C0 = _pad_cols(_jacobian_batch(model, xn0), P0.shape[-1])
+        xl1, P1, logw1, retried0_b = kalman_update_dense_batched(
+            C0, P0, xl0, y[0], R, config.jitter, config.joseph
+        )
+        retries0 = jnp.sum(retried0_b)
+    else:
+        xl1, P1, logw1, retries0 = _measurement_update(
+            model, xn0, xl0, P0, y[0], R, mask[0], config.jitter,
+            config.joseph,
+        )
     w1, logw1n, logz0 = logsumexp_normalize(logw1)
 
     def step(carry, inputs):
@@ -210,7 +233,7 @@ def run_rbpf(
         if fused:
             from ..kernels.kf_update import fused_gather_kf_update_2pass
 
-            C = _jacobian_batch(model, xn_new)
+            C = _pad_cols(_jacobian_batch(model, xn_new), P.shape[-1])
             xl_new, P_new, logw, retried_b = fused_gather_kf_update_2pass(
                 ai, C, xl_anc, P, y_t, R, config.jitter
             )
@@ -257,6 +280,9 @@ def run_rbpf(
     xn_hist_full = jnp.concatenate([xn0[None], xn_hist], axis=0)  # [T, P, dn]
     xn_traj = reconstruct_trajectories(xn_hist_full, ancestors)
 
+    if fused and xl_f.shape[-1] != n_lin:
+        xl_f = xl_f[..., :n_lin]
+        P_f = P_f[..., :n_lin, :n_lin]
     w_f = jnp.exp(logw_f)
     iw_max = jnp.argmax(logw_f)
     xl_mean = jnp.sum(xl_f * w_f[:, None], axis=0)

@@ -51,6 +51,7 @@ from .rbpf import (
     _init_linear,
     _jacobian_batch,
     _measurement_update,
+    _pad_cols,
     reconstruct_trajectories,
 )
 
@@ -63,6 +64,7 @@ class RBPSConfig(NamedTuple):
     resampling: str = "multinomial"
     jitter: float = 1e-2              # src/particleSmoother.m:70
     joseph: bool = False
+    use_fused_kf: bool = False        # Pallas fused gather+KF (dense, ny<=3)
 
 
 class RBPSResult(NamedTuple):
@@ -198,6 +200,7 @@ def _cpf_as_sweep(
     T = y.shape[0]
     dense = isinstance(model, DenseModel)
     ny = y.shape[1]
+    fused = config.use_fused_kf and dense and model.ny <= 3
 
     xn0 = jnp.broadcast_to(
         jnp.asarray(x0_nonlin), (n_p,) + jnp.asarray(x0_nonlin).shape
@@ -205,10 +208,17 @@ def _cpf_as_sweep(
     if not is_first:
         xn0 = xn0.at[n_p - 1].set(xnk[0])          # pin (:92-96)
     xl0, P0 = _init_linear(x0_lin, P0_lin, n_p)
+    n_lin = xl0.shape[-1]
+    if fused:
+        pad = (-n_lin) % 8
+        if pad:
+            xl0 = jnp.pad(xl0, ((0, 0), (0, pad)))
+            P0 = jnp.pad(P0, ((0, 0), (0, pad), (0, pad)))
+    nl_c = xl0.shape[-1]   # carried (possibly padded) linear dim
 
     if dense and not is_first:
         C_ref = _jacobian_batch(model, xnk)     # [T, ny, n_lin] (:119-121)
-        C_stack = C_ref.reshape(T * ny, -1)
+        C_stack = _pad_cols(C_ref, nl_c).reshape(T * ny, nl_c)
         y_stack = jnp.nan_to_num(y).reshape(T * ny)
     else:
         C_stack = None
@@ -216,10 +226,20 @@ def _cpf_as_sweep(
 
     # --- t = 0: importance weights + KF update only ---
     key, k0 = jax.random.split(key)
-    xl1, P1, logw1, retries0 = _measurement_update(
-        model, xn0, xl0, P0, jnp.nan_to_num(y[0]), R, mask[0],
-        config.jitter, config.joseph,
-    )
+    if fused:
+        from ..ops.kalman import kalman_update_dense_batched
+
+        C0 = _pad_cols(_jacobian_batch(model, xn0), nl_c)
+        xl1, P1, logw1, retried0_b = kalman_update_dense_batched(
+            C0, P0, xl0, jnp.nan_to_num(y[0]), R, config.jitter,
+            config.joseph,
+        )
+        retries0 = jnp.sum(retried0_b)
+    else:
+        xl1, P1, logw1, retries0 = _measurement_update(
+            model, xn0, xl0, P0, jnp.nan_to_num(y[0]), R, mask[0],
+            config.jitter, config.joseph,
+        )
     _, logw1n, _ = logsumexp_normalize(logw1)
 
     def step(carry, inputs):
@@ -252,7 +272,6 @@ def _cpf_as_sweep(
         ai = ai.at[n_p - 1].set(anc_last)
         xn_anc = jnp.take(xn, ai, axis=0)
         xl_anc = jnp.take(xl, ai, axis=0)
-        P_anc = jnp.take(P, ai, axis=0)
 
         dyn_keys = jax.random.split(k_dyn, n_p)
         xn_new = jax.vmap(
@@ -261,10 +280,20 @@ def _cpf_as_sweep(
         if not is_first:
             xn_new = xn_new.at[n_p - 1].set(xnk[t_idx])   # keep reference state
 
-        xl_new, P_new, logw, retried_kf = _measurement_update(
-            model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
-            config.jitter, config.joseph,
-        )
+        if fused:
+            from ..kernels.kf_update import fused_gather_kf_update_2pass
+
+            C_t = _pad_cols(_jacobian_batch(model, xn_new), P.shape[-1])
+            xl_new, P_new, logw, retried_b = fused_gather_kf_update_2pass(
+                ai, C_t, xl_anc, P, y_t, R, config.jitter
+            )
+            retried_kf = jnp.sum(retried_b)
+        else:
+            P_anc = jnp.take(P, ai, axis=0)
+            xl_new, P_new, logw, retried_kf = _measurement_update(
+                model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
+                config.jitter, config.joseph,
+            )
         _, logw_nn, _ = logsumexp_normalize(logw)
         ess = jnp.exp(-jax.nn.logsumexp(2.0 * logw_nn))
         new_retries = retries + retries_anc + retried_kf
@@ -291,10 +320,14 @@ def _cpf_as_sweep(
     key_pick = jax.random.fold_in(key, 7)
     ak = sample_categorical(key_pick, jnp.exp(logw_f))
     ess0 = jnp.exp(-jax.nn.logsumexp(2.0 * logw1n))
+    xlk, Pk = xl_f[ak], P_f[ak]
+    if fused and xlk.shape[-1] != n_lin:
+        xlk = xlk[..., :n_lin]
+        Pk = Pk[..., :n_lin, :n_lin]
     return (
         xn_traj[:, ak],
-        xl_f[ak],
-        P_f[ak],
+        xlk,
+        Pk,
         jnp.concatenate([ess0[None], ess_t]),
         retries,
     )

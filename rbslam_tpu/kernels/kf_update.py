@@ -307,6 +307,12 @@ def fused_gather_kf_update_2pass(ai, C, xl_gathered, P_all, y, R,
     from ..math.linalg import gaussian_logpdf_chol, psd_cholesky, solve_psd
 
     n, ny, nl = C.shape
+    if nl % 8 != 0:
+        raise ValueError(
+            f"fused KF kernels require n_lin padded to a multiple of 8 "
+            f"(Mosaic DMA slice tiling), got {nl}; pad the linear state "
+            f"(engines do this automatically with use_fused_kf)"
+        )
     if n % block != 0:
         block = 1
     interpret = jax.default_backend() != "tpu"

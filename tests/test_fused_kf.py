@@ -51,6 +51,29 @@ def test_two_pass_matches_reference():
     np.testing.assert_allclose(out[2], ref[2], atol=1e-5)
 
 
+def test_rbpf_with_fused_kf_unaligned_nlin():
+    """n_lin not a multiple of 8 exercises the zero-padding path."""
+    data, model, basis, center, k, Q = _radio_setup(m_est=30)
+    base = dict(n_particles=12, resampling="systematic")
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    res_a = run_rbpf(jax.random.PRNGKey(1), *args, RBPFConfig(**base))
+    res_b = run_rbpf(
+        jax.random.PRNGKey(1), *args, RBPFConfig(**base, use_fused_kf=True)
+    )
+    assert res_b.xl.shape == res_a.xl.shape
+    assert res_b.P.shape == res_a.P.shape
+    np.testing.assert_allclose(
+        np.asarray(res_a.traj_mean), np.asarray(res_b.traj_mean), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-3
+    )
+
+
 def test_rbpf_with_fused_kf_equivalent():
     """Full filter run: fused path == XLA path on the radio workload."""
     data, model, basis, center, k, Q = _radio_setup()
