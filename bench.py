@@ -20,7 +20,8 @@ import time
 import numpy as np
 
 
-def _build_problem(m_basis, n_particles, n_steps, seed=1):
+def _build_problem(m_basis, n_particles, n_steps, seed=1,
+                   pallas_basis=False):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +45,8 @@ def _build_problem(m_basis, n_particles, n_steps, seed=1):
     )
     potential = ScalarPotentialBasis(hypercube_basis(m_basis, data.LL))
     center = jnp.asarray(domain_center(data.LL), jnp.float32)
-    model = make_mag3d_model(potential, center=center)
+    model = make_mag3d_model(potential, center=center,
+                             use_pallas_basis=pallas_basis)
     k = linear_plus_se_spectral(
         jnp.asarray(np.sqrt(potential.basis.eigenvalues), jnp.float32),
         theta[0], theta[1], theta[2], 3,
@@ -53,16 +55,18 @@ def _build_problem(m_basis, n_particles, n_steps, seed=1):
     return data, model, potential, k, Q, R
 
 
-def bench_rbpf(m_basis, n_particles, n_steps, repeats=3):
+def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
+               fused=False, pallas_basis=False):
     import jax
     import jax.numpy as jnp
 
     from rbslam_tpu.engines import RBPFConfig, run_rbpf
 
     data, model, potential, k, Q, R = _build_problem(
-        m_basis, n_particles, n_steps
+        m_basis, n_particles, n_steps, pallas_basis=pallas_basis
     )
-    cfg = RBPFConfig(n_particles=n_particles, resampling="systematic")
+    cfg = RBPFConfig(n_particles=n_particles, resampling="systematic",
+                     use_fused_kf=fused)
     args = (
         model, data.dx, data.y, data.init_state,
         jnp.zeros(potential.n_lin), jnp.diag(k), Q, R, 0.01, cfg,
@@ -134,6 +138,10 @@ def main():
     ap.add_argument("--particles", type=int, default=1024)
     ap.add_argument("--basis", type=int, default=128)
     ap.add_argument("--steps", type=int, default=192)
+    ap.add_argument("--fused", action="store_true",
+                    help="Pallas fused gather+KF update kernels")
+    ap.add_argument("--pallas-basis", action="store_true",
+                    help="Pallas fused basis-eval kernel")
     args = ap.parse_args()
 
     if args.quick:
@@ -141,7 +149,10 @@ def main():
     else:
         n_particles, m_basis, n_steps = args.particles, args.basis, args.steps
 
-    throughput, elapsed, T = bench_rbpf(m_basis, n_particles, n_steps)
+    throughput, elapsed, T = bench_rbpf(
+        m_basis, n_particles, n_steps,
+        fused=args.fused, pallas_basis=args.pallas_basis,
+    )
 
     # baseline cost measured at small particle count, cost/particle-step
     # is particle-count independent (sequential loop)
@@ -153,7 +164,10 @@ def main():
             {
                 "metric": (
                     f"rbpf_dense_mag_particle_steps_per_s"
-                    f"[N_P={n_particles},m={m_basis}+3,T={T}]"
+                    f"[N_P={n_particles},m={m_basis}+3,T={T}"
+                    + (",fused" if args.fused else "")
+                    + (",pallas-basis" if args.pallas_basis else "")
+                    + "]"
                 ),
                 "value": round(throughput, 1),
                 "unit": "particle-steps/s",

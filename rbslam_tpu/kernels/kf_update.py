@@ -203,89 +203,65 @@ def _fused_call(ai, C, xl_g, e, yR, P_all, ny, nl, block, jitter,
     )(ai, C, xl_g, e, yR, P_all)
 
 
-def _gather_u_kernel(block: int, ai_ref, C_ref, P_hbm, U_ref, p_scratch, sem):
-    """U[b] = P[ai[b]] @ C[b]^T — gather fused into the first P pass."""
-    i0 = pl.program_id(0) * block
-    for b in range(block):
-        pltpu.make_async_copy(
-            P_hbm.at[ai_ref[i0 + b]], p_scratch.at[b], sem.at[b]
-        ).start()
-    for b in range(block):
-        pltpu.make_async_copy(
-            P_hbm.at[ai_ref[i0 + b]], p_scratch.at[b], sem.at[b]
-        ).wait()
-        U_ref[b] = jax.lax.dot_general(
-            p_scratch[b], C_ref[b], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+def _gather_u_kernel(ai_ref, C_ref, P_ref, U_ref):
+    """U = P[ai[i]] @ C[i]^T — the gather rides the Pallas input pipeline
+    (P's BlockSpec index_map reads the scalar-prefetched ancestors)."""
+    U_ref[0] = jax.lax.dot_general(
+        P_ref[0], C_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
-def _gather_downdate_kernel(block: int, ai_ref, M_ref, U_ref, P_hbm,
-                            P_out_ref, p_scratch, sem):
-    """P_new[b] = P[ai[b]] - M[b] @ U[b]^T — second (final) P pass."""
-    i0 = pl.program_id(0) * block
-    for b in range(block):
-        pltpu.make_async_copy(
-            P_hbm.at[ai_ref[i0 + b]], p_scratch.at[b], sem.at[b]
-        ).start()
-    for b in range(block):
-        pltpu.make_async_copy(
-            P_hbm.at[ai_ref[i0 + b]], p_scratch.at[b], sem.at[b]
-        ).wait()
-        P_out_ref[b] = p_scratch[b] - jax.lax.dot_general(
-            M_ref[b], U_ref[b], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+def _gather_downdate_kernel(ai_ref, M_ref, U_ref, P_ref, P_out_ref):
+    """P_new = P[ai[i]] - M[i] @ U[i]^T — second (final) P pass."""
+    P_out_ref[0] = P_ref[0] - jax.lax.dot_general(
+        M_ref[0], U_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def _gather_u_call(ai, C, P_all, block, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gather_u_call(ai, C, P_all, interpret):
     n, ny, nl = C.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n // block,),
+        grid=(n,),
         in_specs=[
-            pl.BlockSpec((block, ny, nl), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, ny, nl), lambda i, ai_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, nl, nl), lambda i, ai_ref: (ai_ref[i], 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block, nl, ny), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, nl, ny), lambda i, ai_ref: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((block, nl, nl), jnp.float32),
-            pltpu.SemaphoreType.DMA((block,)),
-        ],
     )
     return pl.pallas_call(
-        functools.partial(_gather_u_kernel, block),
+        _gather_u_kernel,
         out_shape=jax.ShapeDtypeStruct((n, nl, ny), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(ai, C, P_all)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def _gather_downdate_call(ai, M, U, P_all, block, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gather_downdate_call(ai, M, U, P_all, interpret):
     n, nl, ny = U.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n // block,),
+        grid=(n,),
         in_specs=[
-            pl.BlockSpec((block, nl, ny), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, nl, ny), lambda i, ai_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, nl, ny), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, nl, ny), lambda i, ai_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, nl, nl), lambda i, ai_ref: (ai_ref[i], 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block, nl, nl), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, nl, nl), lambda i, ai_ref: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((block, nl, nl), jnp.float32),
-            pltpu.SemaphoreType.DMA((block,)),
-        ],
     )
     return pl.pallas_call(
-        functools.partial(_gather_downdate_kernel, block),
+        _gather_downdate_kernel,
         out_shape=jax.ShapeDtypeStruct((n, nl, nl), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -307,25 +283,17 @@ def fused_gather_kf_update_2pass(ai, C, xl_gathered, P_all, y, R,
     from ..math.linalg import gaussian_logpdf_chol, psd_cholesky, solve_psd
 
     n, ny, nl = C.shape
-    if nl % 8 != 0:
-        raise ValueError(
-            f"fused KF kernels require n_lin padded to a multiple of 8 "
-            f"(Mosaic DMA slice tiling), got {nl}; pad the linear state "
-            f"(engines do this automatically with use_fused_kf)"
-        )
-    if n % block != 0:
-        block = 1
     interpret = jax.default_backend() != "tpu"
     ai = ai.astype(jnp.int32)
 
-    U = _gather_u_call(ai, C, P_all, block, interpret)       # [N, nl, ny]
+    U = _gather_u_call(ai, C, P_all, interpret)              # [N, nl, ny]
     S = jnp.einsum("pij,pjk->pik", C, U) + R
     L, retried = psd_cholesky(S, jitter)
     e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl_gathered)
     logw = gaussian_logpdf_chol(e, L)
     M = jnp.swapaxes(solve_psd(L, jnp.swapaxes(U, -1, -2)), -1, -2)
     xl_new = xl_gathered + jnp.einsum("pij,pj->pi", M, e)
-    P_new = _gather_downdate_call(ai, M, U, P_all, block, interpret)
+    P_new = _gather_downdate_call(ai, M, U, P_all, interpret)
     return xl_new, P_new, logw, retried
 
 
