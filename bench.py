@@ -135,11 +135,13 @@ def main():
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--particles", type=int, default=1024)
+    ap.add_argument("--particles", type=int, default=16384)
     ap.add_argument("--basis", type=int, default=128)
     ap.add_argument("--steps", type=int, default=192)
-    ap.add_argument("--fused", action="store_true",
-                    help="Pallas fused gather+KF update kernels")
+    ap.add_argument("--fused", dest="fused", action="store_true",
+                    default=True,
+                    help="Pallas fused gather+KF update kernels (default)")
+    ap.add_argument("--no-fused", dest="fused", action="store_false")
     ap.add_argument("--pallas-basis", action="store_true",
                     help="Pallas fused basis-eval kernel")
     args = ap.parse_args()
