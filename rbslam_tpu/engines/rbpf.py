@@ -51,6 +51,10 @@ class RBPFConfig(NamedTuple):
     # fuse the resampling gather of P with the KF update via the Pallas
     # kernels (kernels/kf_update.py); dense models with ny <= 3 only
     use_fused_kf: bool = False
+    # resample only when ESS <= ess_threshold * N, accumulating
+    # log-weights in between; 1.0 = every step (reference semantics,
+    # src/particleFilter.m:104-113)
+    ess_threshold: float = 1.0
 
 
 class RBPFResult(NamedTuple):
@@ -221,7 +225,18 @@ def run_rbpf(
         k_res, k_dyn = jax.random.split(k)
 
         w = jnp.exp(logw_n)
-        ai = resample_indices(k_res, w, n_p, config.resampling)
+        if config.ess_threshold >= 1.0:
+            ai = resample_indices(k_res, w, n_p, config.resampling)
+            logw_prev = jnp.full_like(logw_n, -jnp.log(n_p))
+        else:
+            ess_prev = ess_from_logw(logw_n)
+            do_res = ess_prev <= config.ess_threshold * n_p
+            ai_res = resample_indices(k_res, w, n_p, config.resampling)
+            ident = jnp.arange(n_p, dtype=ai_res.dtype)
+            ai = jnp.where(do_res, ai_res, ident)
+            logw_prev = jnp.where(
+                do_res, jnp.full_like(logw_n, -jnp.log(n_p)), logw_n
+            )
         xn_anc = jnp.take(xn, ai, axis=0)
         xl_anc = jnp.take(xl, ai, axis=0)
 
@@ -244,6 +259,7 @@ def run_rbpf(
                 model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
                 config.jitter, config.joseph,
             )
+        logw = logw_prev + jnp.log(n_p) + logw  # accumulate (no-op at thr=1)
         w_new, logw_nn, logz = logsumexp_normalize(logw)
 
         iw_max = jnp.argmax(logw_nn)
