@@ -116,3 +116,23 @@ def test_rbpf_outputs_shapes():
     assert res.P_mean.shape == (basis.m, basis.m)
     # trajectory reconstruction consistency: last slice is the final xn
     np.testing.assert_allclose(res.xn_traj[-1], res.xn)
+
+
+def test_rbpf_adaptive_resampling():
+    """ESS-triggered resampling keeps accuracy at lower resampling rate."""
+    data, model, basis, center, k, Q = _radio_setup()
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    res = run_rbpf(
+        jax.random.PRNGKey(2), *args,
+        RBPFConfig(n_particles=50, resampling="systematic",
+                   ess_threshold=0.5),
+    )
+    rmse = float(
+        aligned_position_rmse(jnp.asarray(data.pos), res.traj_mean[:, :2])
+    )
+    assert rmse < 0.5, rmse
+    assert np.all(np.isfinite(np.asarray(res.logw)))
