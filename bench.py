@@ -56,7 +56,7 @@ def _build_problem(m_basis, n_particles, n_steps, seed=1,
 
 
 def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
-               fused=False, pallas_basis=False):
+               fused=False, pallas_basis=False, cov_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +66,7 @@ def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
         m_basis, n_particles, n_steps, pallas_basis=pallas_basis
     )
     cfg = RBPFConfig(n_particles=n_particles, resampling="systematic",
-                     use_fused_kf=fused)
+                     use_fused_kf=fused, cov_dtype=cov_dtype)
     args = (
         model, data.dx, data.y, data.init_state,
         jnp.zeros(potential.n_lin), jnp.diag(k), Q, R, 0.01, cfg,
@@ -142,6 +142,8 @@ def main():
                     default=True,
                     help="Pallas fused gather+KF update kernels (default)")
     ap.add_argument("--no-fused", dest="fused", action="store_false")
+    ap.add_argument("--cov-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--pallas-basis", action="store_true",
                     help="Pallas fused basis-eval kernel")
     args = ap.parse_args()
@@ -154,6 +156,7 @@ def main():
     throughput, elapsed, T = bench_rbpf(
         m_basis, n_particles, n_steps,
         fused=args.fused, pallas_basis=args.pallas_basis,
+        cov_dtype=args.cov_dtype,
     )
 
     # baseline cost measured at small particle count, cost/particle-step
@@ -169,6 +172,7 @@ def main():
                     f"[N_P={n_particles},m={m_basis}+3,T={T}"
                     + (",fused" if args.fused else "")
                     + (",pallas-basis" if args.pallas_basis else "")
+                    + (",bf16-cov" if args.cov_dtype == "bfloat16" else "")
                     + "]"
                 ),
                 "value": round(throughput, 1),

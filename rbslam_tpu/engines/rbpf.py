@@ -55,6 +55,10 @@ class RBPFConfig(NamedTuple):
     # log-weights in between; 1.0 = every step (reference semantics,
     # src/particleFilter.m:104-113)
     ess_threshold: float = 1.0
+    # storage dtype for the per-particle covariance carry; "bfloat16"
+    # halves the dominant HBM traffic (contractions still accumulate in
+    # f32). XLA path only (ignored by use_fused_kf).
+    cov_dtype: str = "float32"
 
 
 class RBPFResult(NamedTuple):
@@ -196,6 +200,8 @@ def run_rbpf(
     )
     xl0, P0 = _init_linear(x0_lin, P0_lin, n_p)
     n_lin = xl0.shape[-1]
+    if config.cov_dtype != "float32" and not fused:
+        P0 = P0.astype(jnp.dtype(config.cov_dtype))
     if fused:
         # Mosaic DMA slices need the covariance dims 8-aligned; carry the
         # linear state zero-padded through the scan and slice at the end
@@ -299,6 +305,7 @@ def run_rbpf(
     if fused and xl_f.shape[-1] != n_lin:
         xl_f = xl_f[..., :n_lin]
         P_f = P_f[..., :n_lin, :n_lin]
+    P_f = P_f.astype(jnp.float32)
     w_f = jnp.exp(logw_f)
     iw_max = jnp.argmax(logw_f)
     xl_mean = jnp.sum(xl_f * w_f[:, None], axis=0)

@@ -111,20 +111,33 @@ def kalman_update_dense_batched(C, P, xl, y, R, jitter: float,
     lower to a select that always runs both).
     Returns (xl', P', logw [N], retried [N]).
     """
+    # P may arrive in a reduced-precision storage dtype (bf16 covariance
+    # carry); all contractions accumulate in f32
+    cdtype = C.dtype
     e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl)
-    CP = jnp.einsum("pij,pjk->pik", C, P)
-    S = jnp.einsum("pik,pjk->pij", CP, C) + R
+    CP = jnp.einsum(
+        "pij,pjk->pik", C, P, preferred_element_type=jnp.float32
+    )
+    S = jnp.einsum(
+        "pik,pjk->pij", CP, C, preferred_element_type=jnp.float32
+    ) + R
     L, retried = psd_cholesky(S, jitter)
     logw = gaussian_logpdf_chol(e, L)
     K = jnp.swapaxes(solve_psd(L, CP), -1, -2)          # [N, nl, ny]
     xl_new = xl + jnp.einsum("pij,pj->pi", K, e)
     if joseph:
         n = P.shape[-1]
-        IKC = jnp.eye(n, dtype=P.dtype) - K @ C
-        P_new = IKC @ P @ jnp.swapaxes(IKC, -1, -2) + K @ R @ jnp.swapaxes(K, -1, -2)
+        IKC = jnp.eye(n, dtype=cdtype) - K @ C
+        P_new = jnp.einsum(
+            "pij,pjk,plk->pil", IKC, P.astype(cdtype), IKC,
+            preferred_element_type=jnp.float32,
+        ) + K @ R @ jnp.swapaxes(K, -1, -2)
     else:
-        P_new = P - K @ S @ jnp.swapaxes(K, -1, -2)
-    return xl_new, symmetrize(P_new), logw, retried
+        P_new = P.astype(jnp.float32) - jnp.einsum(
+            "pij,pjk,plk->pil", K, S, K,
+            preferred_element_type=jnp.float32,
+        )
+    return xl_new, symmetrize(P_new).astype(P.dtype), logw, retried
 
 
 def kalman_update_masked_batched(yhat, H, P, xl, y, R, mask, jitter: float):
