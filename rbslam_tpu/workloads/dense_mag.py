@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..basis import ScalarPotentialBasis, hypercube_basis
-from ..basis.laplace import domain_center, hypercube_basis as _hb
+from ..basis.laplace import domain_center
 from ..basis.spectral import linear_plus_se_spectral
 from ..data import simulate_dense_dataset
 from ..engines import (

@@ -11,7 +11,7 @@ repetitions reusing the same field with fresh odometry/measurement noise
 from __future__ import annotations
 
 import argparse
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
