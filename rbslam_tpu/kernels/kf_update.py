@@ -205,19 +205,23 @@ def _fused_call(ai, C, xl_g, e, yR, P_all, ny, nl, block, jitter,
 
 def _gather_u_kernel(ai_ref, C_ref, P_ref, U_ref):
     """U = P[ai[i]] @ C[i]^T — the gather rides the Pallas input pipeline
-    (P's BlockSpec index_map reads the scalar-prefetched ancestors)."""
+    (P's BlockSpec index_map reads the scalar-prefetched ancestors).
+    P may be stored bf16 (covariance carry); compute in f32."""
+    P = P_ref[0].astype(jnp.float32)
     U_ref[0] = jax.lax.dot_general(
-        P_ref[0], C_ref[0], (((1,), (1,)), ((), ())),
+        P, C_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
 def _gather_downdate_kernel(ai_ref, M_ref, U_ref, P_ref, P_out_ref):
     """P_new = P[ai[i]] - M[i] @ U[i]^T — second (final) P pass."""
-    P_out_ref[0] = P_ref[0] - jax.lax.dot_general(
+    P = P_ref[0].astype(jnp.float32)
+    P_new = P - jax.lax.dot_general(
         M_ref[0], U_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    P_out_ref[0] = P_new.astype(P_out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -262,7 +266,7 @@ def _gather_downdate_call(ai, M, U, P_all, interpret):
     )
     return pl.pallas_call(
         _gather_downdate_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, nl, nl), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, nl, nl), P_all.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(ai, M, U, P_all)
@@ -281,6 +285,12 @@ def fused_gather_kf_update_2pass(ai, C, xl_gathered, P_all, y, R,
     gather + multi-pass update; no small-matrix algebra inside Mosaic.
     """
     from ..math.linalg import gaussian_logpdf_chol, psd_cholesky, solve_psd
+    from ..ops.kalman import (
+        _LOG2PI,
+        _chol_small_batched,
+        _inv_from_chol_small_batched,
+        _tri_solve_small_batched,
+    )
 
     n, ny, nl = C.shape
     interpret = jax.default_backend() != "tpu"
@@ -288,10 +298,20 @@ def fused_gather_kf_update_2pass(ai, C, xl_gathered, P_all, y, R,
 
     U = _gather_u_call(ai, C, P_all, interpret)              # [N, nl, ny]
     S = jnp.einsum("pij,pjk->pik", C, U) + R
-    L, retried = psd_cholesky(S, jitter)
     e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl_gathered)
-    logw = gaussian_logpdf_chol(e, L)
-    M = jnp.swapaxes(solve_psd(L, jnp.swapaxes(U, -1, -2)), -1, -2)
+    if ny <= 3:
+        L, retried = _chol_small_batched(S, jitter)
+        v = _tri_solve_small_batched(L, e)
+        logw = (
+            -jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+            - 0.5 * jnp.sum(v * v, axis=-1)
+            - 0.5 * ny * _LOG2PI
+        )
+        M = jnp.einsum("pij,pjk->pik", U, _inv_from_chol_small_batched(L))
+    else:
+        L, retried = psd_cholesky(S, jitter)
+        logw = gaussian_logpdf_chol(e, L)
+        M = jnp.swapaxes(solve_psd(L, jnp.swapaxes(U, -1, -2)), -1, -2)
     xl_new = xl_gathered + jnp.einsum("pij,pj->pi", M, e)
     P_new = _gather_downdate_call(ai, M, U, P_all, interpret)
     return xl_new, P_new, logw, retried

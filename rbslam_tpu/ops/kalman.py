@@ -101,16 +101,141 @@ def masked_log_weights(yhat, H, P, y, R, mask, jitter: float):
     return logw, e_m, L, Hm, retried
 
 
+_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+
+
+def _chol_small_batched(S, jitter: float):
+    """Closed-form batched Cholesky for ny <= 3: S [N, ny, ny].
+
+    XLA's batched `cholesky`/`triangular_solve` lower to blocked loops
+    that are pathologically slow for tiny matrices on TPU; these are pure
+    elementwise VPU ops over the batch. Jitter is applied per particle
+    where any pivot fails (matching psd_cholesky semantics).
+    Returns (L, bad).
+    """
+    ny = S.shape[-1]
+
+    def pivots(Sm):
+        l11s = Sm[:, 0, 0]
+        piv = [l11s]
+        if ny >= 2:
+            l11 = jnp.sqrt(jnp.maximum(l11s, 1e-30))
+            l21 = Sm[:, 1, 0] / l11
+            piv.append(Sm[:, 1, 1] - l21**2)
+        if ny >= 3:
+            l31 = Sm[:, 2, 0] / l11
+            l22 = jnp.sqrt(jnp.maximum(piv[1], 1e-30))
+            l32 = (Sm[:, 2, 1] - l31 * l21) / l22
+            piv.append(Sm[:, 2, 2] - l31**2 - l32**2)
+        return piv
+
+    bad = jnp.zeros(S.shape[0], dtype=bool)
+    for p in pivots(S):
+        bad = bad | (p <= 0)
+    eye = jnp.eye(ny, dtype=S.dtype)
+    S = jnp.where(bad[:, None, None], S + jitter * eye, S)
+
+    L = jnp.zeros_like(S)
+    l11 = jnp.sqrt(S[:, 0, 0])
+    L = L.at[:, 0, 0].set(l11)
+    if ny >= 2:
+        l21 = S[:, 1, 0] / l11
+        l22 = jnp.sqrt(S[:, 1, 1] - l21**2)
+        L = L.at[:, 1, 0].set(l21).at[:, 1, 1].set(l22)
+    if ny >= 3:
+        l31 = S[:, 2, 0] / l11
+        l32 = (S[:, 2, 1] - l31 * l21) / l22
+        l33 = jnp.sqrt(S[:, 2, 2] - l31**2 - l32**2)
+        L = L.at[:, 2, 0].set(l31).at[:, 2, 1].set(l32).at[:, 2, 2].set(l33)
+    return L, bad
+
+
+def _tri_solve_small_batched(L, b):
+    """Forward-substitute L v = b, batched, ny <= 3 (elementwise)."""
+    ny = L.shape[-1]
+    v0 = b[:, 0] / L[:, 0, 0]
+    vs = [v0]
+    if ny >= 2:
+        vs.append((b[:, 1] - L[:, 1, 0] * v0) / L[:, 1, 1])
+    if ny >= 3:
+        vs.append(
+            (b[:, 2] - L[:, 2, 0] * vs[0] - L[:, 2, 1] * vs[1])
+            / L[:, 2, 2]
+        )
+    return jnp.stack(vs, axis=-1)
+
+
+def _inv_from_chol_small_batched(L):
+    """S^-1 = L^-T L^-1, batched, ny <= 3 (elementwise)."""
+    ny = L.shape[-1]
+    Li = jnp.zeros_like(L)
+    Li = Li.at[:, 0, 0].set(1.0 / L[:, 0, 0])
+    if ny >= 2:
+        Li = Li.at[:, 1, 1].set(1.0 / L[:, 1, 1])
+        Li = Li.at[:, 1, 0].set(-L[:, 1, 0] * Li[:, 0, 0] / L[:, 1, 1])
+    if ny >= 3:
+        Li = Li.at[:, 2, 2].set(1.0 / L[:, 2, 2])
+        Li = Li.at[:, 2, 1].set(-L[:, 2, 1] * Li[:, 1, 1] / L[:, 2, 2])
+        Li = Li.at[:, 2, 0].set(
+            -(L[:, 2, 0] * Li[:, 0, 0] + L[:, 2, 1] * Li[:, 1, 0])
+            / L[:, 2, 2]
+        )
+    return jnp.einsum("pki,pkj->pij", Li, Li)
+
+
 def kalman_update_dense_batched(C, P, xl, y, R, jitter: float,
                                 joseph: bool = False):
     """Whole-ensemble dense KF update: C [N,ny,nl], P [N,nl,nl], xl [N,nl].
 
-    Same math as :func:`kalman_update_dense` but with one *batched*
-    Cholesky whose jitter retry is a single `lax.cond` outside any vmap —
-    the common path costs one factorization (under vmap the cond would
-    lower to a select that always runs both).
+    Same math as :func:`kalman_update_dense`; for ny <= 3 the innovation
+    factorization/solves use closed-form elementwise algebra over the
+    batch (see :func:`_chol_small_batched`) instead of lax.linalg.
     Returns (xl', P', logw [N], retried [N]).
     """
+    if C.shape[1] <= 3:
+        return _kalman_update_dense_batched_small(
+            C, P, xl, y, R, jitter, joseph
+        )
+    return _kalman_update_dense_batched_lax(C, P, xl, y, R, jitter, joseph)
+
+
+def _kalman_update_dense_batched_small(C, P, xl, y, R, jitter, joseph):
+    cdtype = C.dtype
+    e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl)
+    CP = jnp.einsum(
+        "pij,pjk->pik", C, P, preferred_element_type=jnp.float32
+    )
+    S = jnp.einsum(
+        "pik,pjk->pij", CP, C, preferred_element_type=jnp.float32
+    ) + R
+    L, retried = _chol_small_batched(S, jitter)
+    v = _tri_solve_small_batched(L, e)
+    ny = e.shape[-1]
+    logw = (
+        -jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+        - 0.5 * jnp.sum(v * v, axis=-1)
+        - 0.5 * ny * _LOG2PI
+    )
+    Sinv = _inv_from_chol_small_batched(L)
+    K = jnp.einsum("pji,pjk->pik", CP, Sinv)            # [N, nl, ny]
+    xl_new = xl + jnp.einsum("pij,pj->pi", K, e)
+    if joseph:
+        n = P.shape[-1]
+        IKC = jnp.eye(n, dtype=cdtype) - K @ C
+        P_new = jnp.einsum(
+            "pij,pjk,plk->pil", IKC, P.astype(cdtype), IKC,
+            preferred_element_type=jnp.float32,
+        ) + K @ R @ jnp.swapaxes(K, -1, -2)
+    else:
+        # P - K S K' == P - (CP)' Sinv (CP)
+        P_new = P.astype(jnp.float32) - jnp.einsum(
+            "pji,pjk->pik", CP, jnp.einsum("pij,pjk->pik", Sinv, CP),
+            preferred_element_type=jnp.float32,
+        )
+    return xl_new, symmetrize(P_new).astype(P.dtype), logw, retried
+
+
+def _kalman_update_dense_batched_lax(C, P, xl, y, R, jitter, joseph):
     # P may arrive in a reduced-precision storage dtype (bf16 covariance
     # carry); all contractions accumulate in f32
     cdtype = C.dtype
