@@ -227,11 +227,14 @@ def _kalman_update_dense_batched_small(C, P, xl, y, R, jitter, joseph):
             preferred_element_type=jnp.float32,
         ) + K @ R @ jnp.swapaxes(K, -1, -2)
     else:
-        # P - K S K' == P - (CP)' Sinv (CP)
-        P_new = P.astype(jnp.float32) - jnp.einsum(
+        # P - K S K' == P - (CP)' Sinv (CP); the downdate is computed in
+        # f32 and subtracted in the storage dtype so no P-sized f32
+        # temporary is materialized (bf16 carry at large N)
+        downdate = jnp.einsum(
             "pji,pjk->pik", CP, jnp.einsum("pij,pjk->pik", Sinv, CP),
             preferred_element_type=jnp.float32,
         )
+        P_new = P - downdate.astype(P.dtype)
     return xl_new, symmetrize(P_new).astype(P.dtype), logw, retried
 
 
@@ -258,10 +261,11 @@ def _kalman_update_dense_batched_lax(C, P, xl, y, R, jitter, joseph):
             preferred_element_type=jnp.float32,
         ) + K @ R @ jnp.swapaxes(K, -1, -2)
     else:
-        P_new = P.astype(jnp.float32) - jnp.einsum(
+        downdate = jnp.einsum(
             "pij,pjk,plk->pil", K, S, K,
             preferred_element_type=jnp.float32,
         )
+        P_new = P - downdate.astype(P.dtype)
     return xl_new, symmetrize(P_new).astype(P.dtype), logw, retried
 
 
