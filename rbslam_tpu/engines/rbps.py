@@ -135,32 +135,23 @@ def _sparse_future_log_weights(
     r_diag = jnp.diagonal(R)
 
     def per_particle(xl_i, P_i):
-        def accum(carry, ti):
-            Lam, iota, se, n_obs, logdetR = carry
-            active = (ti >= t_idx).astype(xl_i.dtype)
-            yhat, H = model.measure(xnk[ti], xl_i)
-            m = mask[ti] * active                      # [ny]
-            Hm = H * m[:, None]
-            e = (jnp.nan_to_num(y[ti]) - yhat) * m
-            HtRinv = Hm.T / r_diag[None, :]
-            Lam = Lam + HtRinv @ Hm
-            iota = iota + HtRinv @ e
-            se = se + jnp.sum(e * e / r_diag)
-            n_obs = n_obs + jnp.sum(m)
-            logdetR = logdetR + jnp.sum(m * jnp.log(r_diag))
-            return (Lam, iota, se, n_obs, logdetR), None
-
+        # linearize along the whole reference at this particle's map in
+        # one vmapped sweep, then reduce with the (ti >= t) time mask —
+        # same math as the reference's growing stacked system but fully
+        # parallel over time (src/particleSmoother.m:194-218)
+        yhat_all, H_all = jax.vmap(
+            lambda xr: model.measure(xr, xl_i)
+        )(xnk)                                           # [T, ny], [T, ny, nl]
+        active = (jnp.arange(T) >= t_idx).astype(xl_i.dtype)
+        m = mask * active[:, None]                       # [T, ny]
+        Hm = H_all * m[:, :, None]
+        e = (jnp.nan_to_num(y) - yhat_all) * m
+        Lam = jnp.einsum("tkj,k,tki->ji", Hm, 1.0 / r_diag, Hm)
+        iota = jnp.einsum("tkj,k,tk->j", Hm, 1.0 / r_diag, e)
+        se = jnp.sum(e * e / r_diag[None, :])
+        n_obs = jnp.sum(m)
+        logdetR = jnp.sum(m * jnp.log(r_diag)[None, :])
         n_lin = xl_i.shape[0]
-        init = (
-            jnp.zeros((n_lin, n_lin), xl_i.dtype),
-            jnp.zeros((n_lin,), xl_i.dtype),
-            jnp.zeros((), xl_i.dtype),
-            jnp.zeros((), xl_i.dtype),
-            jnp.zeros((), xl_i.dtype),
-        )
-        (Lam, iota, se, n_obs, logdetR), _ = jax.lax.scan(
-            accum, init, jnp.arange(T)
-        )
         Lp, r1 = psd_cholesky(P_i, jitter)
         B = jnp.eye(n_lin, dtype=xl_i.dtype) + Lp.T @ Lam @ Lp
         Lb, r2 = psd_cholesky(B, jitter)
