@@ -11,8 +11,7 @@ resampling ancestor exchange (:104-113).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
