@@ -56,8 +56,8 @@ class RBPFConfig(NamedTuple):
     # src/particleFilter.m:104-113)
     ess_threshold: float = 1.0
     # storage dtype for the per-particle covariance carry; "bfloat16"
-    # halves the dominant HBM traffic (contractions still accumulate in
-    # f32). XLA path only (ignored by use_fused_kf).
+    # halves the dominant HBM traffic (contractions and the fused
+    # kernels still accumulate in f32)
     cov_dtype: str = "float32"
 
 
@@ -200,7 +200,7 @@ def run_rbpf(
     )
     xl0, P0 = _init_linear(x0_lin, P0_lin, n_p)
     n_lin = xl0.shape[-1]
-    if config.cov_dtype != "float32" and not fused:
+    if config.cov_dtype != "float32":
         P0 = P0.astype(jnp.dtype(config.cov_dtype))
     if fused:
         # Mosaic DMA slices need the covariance dims 8-aligned; carry the
