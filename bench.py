@@ -139,10 +139,12 @@ def main():
     ap.add_argument("--basis", type=int, default=128)
     ap.add_argument("--steps", type=int, default=192)
     ap.add_argument("--fused", dest="fused", action="store_true",
-                    default=True,
-                    help="Pallas fused gather+KF update kernels (default)")
+                    default=False,
+                    help="Pallas fused gather+KF update kernels")
     ap.add_argument("--no-fused", dest="fused", action="store_false")
-    ap.add_argument("--cov-dtype", default="float32",
+    # measured fastest on v5e (RESULTS.md): XLA path + bf16 covariance
+    # + closed-form small-ny algebra
+    ap.add_argument("--cov-dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--pallas-basis", action="store_true",
                     help="Pallas fused basis-eval kernel")
