@@ -46,6 +46,7 @@ class DenseRadioConfig:
     smoother: str = "cpf_as"        # or "info_form"
     seed: int = 1
     dtype: str = "float32"
+    with_grid: bool = False
 
 
 def _process_noise(cfg: DenseRadioConfig):
@@ -70,7 +71,7 @@ def build_problem(cfg: DenseRadioConfig, key, field_weights=None):
         m_sim=cfg.m_sim,
         traj_kwargs={"n": cfg.n_steps},
         field_weights=field_weights,
-        with_grid=False,
+        with_grid=cfg.with_grid,
     )
     basis = hypercube_basis(cfg.m_basis, data.LL)
     center = jnp.asarray(domain_center(data.LL), jnp.float32)
@@ -83,7 +84,62 @@ def build_problem(cfg: DenseRadioConfig, key, field_weights=None):
     return data, model, basis, k, Q, R
 
 
-def run(cfg: DenseRadioConfig) -> dict:
+def _make_plots(plot_dir, cfg, data, basis, res, res_s):
+    """Figure-family analogs of the reference's committed PNGs
+    (line-odometry / line-filter-{max,mean} / line-smoother /
+    degeneracy-*; README.md:85-119)."""
+    import os
+
+    import numpy as np
+
+    from ..basis.laplace import domain_center
+    from ..viz import plot_degeneracy, plot_dense_map, plot_trajectories
+
+    os.makedirs(plot_dir, exist_ok=True)
+    tag = cfg.traj_type
+    plot_trajectories(
+        os.path.join(plot_dir, f"{tag}-odometry.png"),
+        truth=data.pos,
+        estimates=[np.asarray(data.odometry_path[:, :2])],
+        labels=["odometry (dead reckoning)"],
+        title="True trajectory vs odometry",
+    )
+    plot_trajectories(
+        os.path.join(plot_dir, f"{tag}-filter.png"),
+        truth=data.pos,
+        estimates=[np.asarray(res.traj_max[:, :2]),
+                   np.asarray(res.traj_mean[:, :2])],
+        labels=["filter max-weight", "filter weighted mean"],
+        title="Filter trajectories",
+    )
+    if data.grid is not None:
+        center = domain_center(data.LL)
+        x1t, x2t = data.grid["x1t"], data.grid["x2t"]
+        X1, X2 = np.meshgrid(x1t, x2t)
+        pts = np.stack([X1.ravel(), X2.ravel()], -1) - center[None, :2]
+        import jax.numpy as jnp
+
+        Phi = basis.phi(jnp.asarray(pts, jnp.float32))
+        est = np.asarray(Phi @ res.xl_mean)
+        var = np.asarray(
+            jnp.einsum("ni,ij,nj->n", Phi, res.P_mean, Phi)
+        )
+        plot_dense_map(
+            os.path.join(plot_dir, f"{tag}-map.png"),
+            x1t, x2t, est, traj=np.asarray(res.traj_mean[:, :2]),
+            uncertainty=np.sqrt(np.maximum(var, 0.0)),
+            title="Estimated field map (alpha = posterior std)",
+        )
+    if res_s is not None:
+        plot_degeneracy(
+            os.path.join(plot_dir, f"{tag}-degeneracy.png"),
+            np.asarray(res.xn_traj[:, :, :2]),
+            np.asarray(res_s.XNK[:, :, :2]),
+            truth=data.pos,
+        )
+
+
+def run(cfg: DenseRadioConfig, plot_dir=None) -> dict:
     key = jax.random.PRNGKey(cfg.seed)
     rmse_filter, rmse_smoother, times = [], [], {}
     field_weights = None
@@ -112,6 +168,7 @@ def run(cfg: DenseRadioConfig) -> dict:
         )
         times.setdefault("filter_s", []).append(t_f.elapsed)
 
+        res_s = None
         if cfg.n_sweeps > 0:
             smoother = (
                 run_rbps_information_form
@@ -136,6 +193,9 @@ def run(cfg: DenseRadioConfig) -> dict:
                 ]
             )
             times.setdefault("smoother_s", []).append(t_s.elapsed)
+
+        if plot_dir is not None and i_mc == 0:
+            _make_plots(plot_dir, cfg, data, basis, res, res_s)
 
     rf = np.asarray(rmse_filter)
     out = {
@@ -170,8 +230,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--quick", action="store_true",
                     help="reduced config for smoke runs")
+    ap.add_argument("--plots", default=None, metavar="DIR",
+                    help="write figure PNGs (maps, trajectories, degeneracy)")
     args = ap.parse_args(argv)
     cfg = DenseRadioConfig(
+        with_grid=args.plots is not None,
         traj_type=args.traj,
         n_steps=48 if args.traj == "square_3D" else 32,
         n_particles=20 if args.quick else args.particles,
@@ -183,7 +246,7 @@ def main(argv=None):
         smoother=args.smoother,
         seed=args.seed,
     )
-    report(run(cfg))
+    report(run(cfg, plot_dir=args.plots))
 
 
 if __name__ == "__main__":

@@ -60,7 +60,7 @@ def _init_maps(key, landmarks, n_particles, guess_var):
     return flat[None, :] + jnp.sqrt(guess_var) * noise
 
 
-def run(cfg: SparseVisualConfig) -> dict:
+def run(cfg: SparseVisualConfig, plot_dir=None) -> dict:
     key = jax.random.PRNGKey(cfg.seed)
     key, k_data, k_map_f, k_map_s, k_f, k_s = jax.random.split(key, 6)
     data, model, Q, R, x0 = build_problem(cfg, k_data)
@@ -97,6 +97,18 @@ def run(cfg: SparseVisualConfig) -> dict:
             "ess_min": float(res.ess.min()),
             "time_s": t_f.elapsed,
         }
+        if plot_dir is not None:
+            import os
+
+            from ..viz import plot_landmark_map
+
+            os.makedirs(plot_dir, exist_ok=True)
+            plot_landmark_map(
+                os.path.join(plot_dir, "sparse-visual-pf-map.png"),
+                truth_map, np.asarray(res.xl_mean).reshape(-1, 2),
+                traj=np.asarray(res.traj_mean[:, :2]),
+                title="PF landmark map + mean trajectory",
+            )
 
     if cfg.run_smoother:
         x0_lin = _init_maps(
@@ -140,6 +152,7 @@ def main(argv=None):
     ap.add_argument("--shuffle", type=int, default=0)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--plots", default=None, metavar="DIR")
     args = ap.parse_args(argv)
     cfg = SparseVisualConfig(
         n_particles_pf=20 if args.quick else args.particles,
@@ -148,7 +161,7 @@ def main(argv=None):
         n_shuffle=args.shuffle,
         seed=args.seed,
     )
-    report(run(cfg))
+    report(run(cfg, plot_dir=args.plots))
 
 
 if __name__ == "__main__":
