@@ -85,6 +85,77 @@ def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
     return n_particles * T / best, best, T
 
 
+def bench_pf(n_particles, n_steps, repeats=3):
+    """Terrain-matching PF throughput on a gridded magnetic map — the
+    no-covariance engine that scales to millions of particles per chip
+    (the BASELINE.json 1M-particle north-star path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rbslam_tpu.data.fields import draw_scalar_potential_field
+    from rbslam_tpu.engines import PFConfig, run_pf_localization
+    from rbslam_tpu.models import make_gridded_terrain_model
+    from rbslam_tpu.workloads.mag_localization import (
+        _heading_quats, _test_loop, default_Q,
+    )
+    from rbslam_tpu.math.quaternions import qinv, qmul, rmat_to_quat
+
+    theta = (10.0, 1.0, 25.0, 4.0)
+    extent = 4.0
+    n_grid = 192
+    xs = np.linspace(-extent, extent, n_grid)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    grid_pts = np.stack([X.ravel(), Y.ravel(), np.zeros(X.size)], -1)
+    path = _test_loop(extent * 0.9, n_steps)
+    LLs = np.stack([[-extent - 1, -extent - 1, -1.0],
+                    [extent + 1, extent + 1, 1.0]])
+    d = draw_scalar_potential_field(
+        jax.random.PRNGKey(0),
+        jnp.asarray(np.concatenate([grid_pts, path]), jnp.float32),
+        512, LLs, theta,
+    )
+    mean_grid = d.df[: X.size].reshape(n_grid, n_grid, 3)
+    var_grid = jnp.full((n_grid, n_grid, 3), 0.3)
+    model = make_gridded_terrain_model(
+        mean_grid, var_grid,
+        jnp.asarray([xs[0], xs[0]], jnp.float32),
+        jnp.asarray([xs[1] - xs[0], xs[1] - xs[0]], jnp.float32),
+        theta[3],
+    )
+    y_path = np.asarray(d.y[X.size:])
+    quat, Rm = _heading_quats(path)
+    quat = np.asarray(rmat_to_quat(jnp.asarray(Rm.transpose(0, 2, 1))))
+    y_body = np.einsum("tij,tj->ti", Rm, y_path)
+    dpos = np.diff(path, axis=0)
+    dquat = np.asarray(
+        qmul(qinv(jnp.asarray(quat[:-1])), jnp.asarray(quat[1:]))
+    )
+    u = jnp.asarray(np.concatenate([dpos, dquat], -1), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    init = jnp.concatenate(
+        [
+            jax.random.uniform(key, (n_particles, 2), minval=-extent,
+                               maxval=extent),
+            jnp.zeros((n_particles, 1)),
+            jnp.tile(jnp.asarray(quat[0], jnp.float32), (n_particles, 1)),
+        ],
+        axis=-1,
+    )
+    cfg = PFConfig(n_particles=n_particles, resampling="systematic",
+                   ess_threshold=0.5)
+    args = (model.dynamics, model.log_weight, u,
+            jnp.asarray(y_body, jnp.float32), init, default_Q(), 0.1, cfg)
+    res = run_pf_localization(jax.random.PRNGKey(2), *args)
+    jax.block_until_ready(res.logw)
+    best = np.inf
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        res = run_pf_localization(jax.random.fold_in(key, i), *args)
+        jax.block_until_ready(res.logw)
+        best = min(best, time.perf_counter() - t0)
+    return n_particles * n_steps / best, best
+
+
 def numpy_baseline_per_step(m_basis, n_particles, n_steps=8):
     """Single-threaded per-particle-loop RBPF step cost (the reference's
     structure: for-loop over particles, BLAS for the inner linear algebra)."""
@@ -146,6 +217,8 @@ def main():
     # + closed-form small-ny algebra
     ap.add_argument("--cov-dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--engine", default="rbpf", choices=["rbpf", "pf"],
+                    help="pf = gridded terrain PF (1M-particle path)")
     ap.add_argument("--pallas-basis", action="store_true",
                     help="Pallas fused basis-eval kernel")
     args = ap.parse_args()
@@ -154,6 +227,25 @@ def main():
         n_particles, m_basis, n_steps = 128, 32, 64
     else:
         n_particles, m_basis, n_steps = args.particles, args.basis, args.steps
+
+    if args.engine == "pf":
+        n_pf = 1_048_576 if args.particles == 16384 else args.particles
+        if args.quick:
+            n_pf = 4096
+        throughput, elapsed = bench_pf(n_pf, 128 if not args.quick else 32)
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"terrain_pf_particle_steps_per_s[N_P={n_pf}]"
+                    ),
+                    "value": round(throughput, 1),
+                    "unit": "particle-steps/s",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
 
     throughput, elapsed, T = bench_rbpf(
         m_basis, n_particles, n_steps,

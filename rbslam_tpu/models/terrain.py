@@ -93,3 +93,115 @@ def make_terrain_model(
         predict_field=predict_field,
         n_nonlin=7,
     )
+
+
+def make_gridded_terrain_model(
+    mean_grid,      # [nx, ny_, 3] posterior mean field on a regular grid
+    var_grid,       # [nx, ny_, 3] posterior per-axis variance
+    lo,             # [2] grid origin (x, y)
+    spacing,        # [2] grid spacing
+    sigma2: float,
+    dynamics=None,
+    mode: str = "product",
+) -> TerrainModel:
+    """Terrain model with the GP posterior pre-evaluated on a grid and
+    bilinearly interpolated at particle positions.
+
+    The exact model (:func:`make_terrain_model`) solves an
+    n_lin-triangular system per particle for the predictive variance —
+    fine at N_P=1000 (the reference scale) but the wrong trade at
+    10^5–10^6 particles. Precomputing the posterior on a grid makes the
+    weight a pure gather+lerp: this is the classic terrain-matching
+    formulation and the 1M-particle scaling path (BASELINE.json north
+    star). Grid resolution should be << length scale for negligible
+    interpolation bias.
+    """
+    if mode not in ("product", "sum"):
+        raise ValueError(f"mode must be 'product' or 'sum', got {mode!r}")
+    mean_grid = jnp.asarray(mean_grid)
+    var_grid = jnp.asarray(var_grid)
+    lo = jnp.asarray(lo)
+    spacing = jnp.asarray(spacing)
+    nx, ny_ = mean_grid.shape[0], mean_grid.shape[1]
+
+    def _interp(grid, p):
+        """Bilinear interpolation of grid [nx, ny_, 3] at p [2]."""
+        f = (p - lo) / spacing
+        i0 = jnp.clip(jnp.floor(f[0]).astype(jnp.int32), 0, nx - 2)
+        j0 = jnp.clip(jnp.floor(f[1]).astype(jnp.int32), 0, ny_ - 2)
+        tx = jnp.clip(f[0] - i0, 0.0, 1.0)
+        ty = jnp.clip(f[1] - j0, 0.0, 1.0)
+        g00 = grid[i0, j0]
+        g10 = grid[i0 + 1, j0]
+        g01 = grid[i0, j0 + 1]
+        g11 = grid[i0 + 1, j0 + 1]
+        return (
+            g00 * (1 - tx) * (1 - ty)
+            + g10 * tx * (1 - ty)
+            + g01 * (1 - tx) * ty
+            + g11 * tx * ty
+        )
+
+    def predict_field(x):
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            return _interp(mean_grid, x[:2]), _interp(var_grid, x[:2])
+        means = jax.vmap(lambda p: _interp(mean_grid, p[:2]))(x)
+        vars_ = jax.vmap(lambda p: _interp(var_grid, p[:2]))(x)
+        return means, vars_
+
+    def log_weight(y_t, xn):
+        mean_nav = _interp(mean_grid, xn[:2])
+        var = _interp(var_grid, xn[:2])
+        Rnb = quat_to_rmat(xn[3:7])
+        mean_body = Rnb.T @ mean_nav
+        s2 = var + sigma2
+        log_pdfs = -0.5 * (
+            (y_t - mean_body) ** 2 / s2 + jnp.log(s2) + _LOG2PI
+        )
+        if mode == "product":
+            return jnp.sum(log_pdfs)
+        return jax.nn.logsumexp(log_pdfs)
+
+    def default_dynamics(key, xn, u, dt, Q):
+        kp, kq = jax.random.split(key)
+        p, q = xn[:3], xn[3:7]
+        Lp = jnp.sqrt(dt) * jnp.sqrt(jnp.diagonal(Q[:3, :3]))
+        Lq = jnp.sqrt(dt) * jnp.sqrt(jnp.diagonal(Q[3:6, 3:6]))
+        p_new = p + u[:3] + Lp * jax.random.normal(kp, (3,), dtype=xn.dtype)
+        q_new = qmul(
+            qmul(u[3:7], q),
+            expq(Lq * jax.random.normal(kq, (3,), dtype=xn.dtype)),
+        )
+        return jnp.concatenate([p_new, q_new])
+
+    return TerrainModel(
+        dynamics=dynamics or default_dynamics,
+        log_weight=log_weight,
+        predict_field=predict_field,
+        n_nonlin=7,
+    )
+
+
+def gridify_gp(gp, lo, hi, n=(256, 256), z: float = 0.0):
+    """Evaluate a fitted ReducedRankGP's mean/var on a regular grid for
+    :func:`make_gridded_terrain_model`. Returns (mean, var, lo, spacing)."""
+    import numpy as np
+
+    xs = np.linspace(lo[0], hi[0], n[0])
+    ys = np.linspace(lo[1], hi[1], n[1])
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    pts = jnp.asarray(
+        np.stack([X.ravel(), Y.ravel(), np.full(X.size, z)], -1),
+        jnp.float32,
+    )
+    mean, var = gp.predict_gradient(pts)
+    spacing = jnp.asarray(
+        [xs[1] - xs[0], ys[1] - ys[0]], jnp.float32
+    )
+    return (
+        mean.reshape(n[0], n[1], 3),
+        var.reshape(n[0], n[1], 3),
+        jnp.asarray([xs[0], ys[0]], jnp.float32),
+        spacing,
+    )

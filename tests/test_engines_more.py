@@ -196,3 +196,88 @@ def test_gp_hyperparameter_optimization_improves_nll():
         optimize=True, maxiter=30,
     )
     assert gp1.nll < gp0.nll - 1.0, (gp0.nll, gp1.nll)
+
+
+def test_gridded_terrain_matches_exact_and_localizes():
+    """Grid-interpolated terrain model tracks like the exact GP model."""
+    import numpy as np
+    import rbslam_tpu.workloads.mag_localization as ML
+    from rbslam_tpu.data.fields import draw_scalar_potential_field
+    from rbslam_tpu.gp import fit_scalar_potential_gp
+    from rbslam_tpu.math.quaternions import qinv, qmul, rmat_to_quat
+    from rbslam_tpu.models import (
+        gridify_gp, make_gridded_terrain_model, make_terrain_model,
+    )
+
+    theta = (10.0, 1.0, 25.0, 4.0)
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 4)
+    x_train = ML._lawnmower(4.0, 11)
+    x_test = ML._test_loop(4.0, 80)
+    LLs = np.stack([[-4.5, -4.5, -1.0], [4.5, 4.5, 1.0]])
+    d = draw_scalar_potential_field(
+        ks[1], jnp.asarray(np.concatenate([x_train, x_test]), jnp.float32),
+        512, LLs, theta,
+    )
+    ytr = np.asarray(d.y[: len(x_train)])
+    yte = np.asarray(d.y[len(x_train):])
+    lo, hi = x_train.min(0), x_train.max(0)
+    rng = hi - lo
+    pad = 0.2 * np.min(rng[rng > 0])
+    LL = np.stack([lo - pad, hi + pad])
+    gp = fit_scalar_potential_gp(x_train, ytr, 128, LL, theta,
+                                 optimize=False)
+
+    mean_g, var_g, glo, gsp = gridify_gp(gp, LL[0], LL[1], n=(128, 128))
+    model_g = make_gridded_terrain_model(
+        mean_g, var_g, glo, gsp, float(gp.theta[3])
+    )
+    # interp vs exact at test points (in the GP's centered frame)
+    pts_c = jnp.asarray(x_test[:20], jnp.float32) - jnp.asarray(
+        gp.center, jnp.float32
+    )
+    m_exact, v_exact = gp.predict_gradient(jnp.asarray(x_test[:20]))
+    m_grid, v_grid = model_g.predict_field(pts_c)
+    np.testing.assert_allclose(np.asarray(m_grid), np.asarray(m_exact),
+                               atol=0.3)
+
+    # PF localization on the gridded map
+    from rbslam_tpu.engines import PFConfig, run_pf_localization
+
+    quat, R = ML._heading_quats(x_test)
+    quat = np.asarray(rmat_to_quat(jnp.asarray(R.transpose(0, 2, 1))))
+    y_body = np.einsum("tij,tj->ti", R, yte)
+    dpos = np.diff(x_test, axis=0)
+    dquat = np.asarray(
+        qmul(qinv(jnp.asarray(quat[:-1])), jnp.asarray(quat[1:]))
+    )
+    u = jnp.asarray(np.concatenate([dpos, dquat], -1), jnp.float32)
+    center = jnp.asarray(gp.center, jnp.float32)
+
+    def log_weight(y_t, xn):
+        return model_g.log_weight(
+            y_t, jnp.concatenate([xn[:3] - center, xn[3:7]])
+        )
+
+    n_p = 300
+    k1, k2 = jax.random.split(ks[3])
+    init = np.tile(np.concatenate([x_test[0], quat[0]]), (n_p, 1)).astype(
+        np.float32
+    )
+    init[:, 0] = np.asarray(
+        jax.random.uniform(k1, (n_p,), minval=lo[0], maxval=hi[0])
+    )
+    init[:, 1] = np.asarray(
+        jax.random.uniform(k2, (n_p,), minval=lo[1], maxval=hi[1])
+    )
+    res = run_pf_localization(
+        ks[2], model_g.dynamics, log_weight, u,
+        jnp.asarray(y_body, jnp.float32), jnp.asarray(init),
+        ML.default_Q(), 0.1,
+        PFConfig(n_particles=n_p, resampling="systematic",
+                 ess_threshold=0.5),
+    )
+    err = np.linalg.norm(
+        np.asarray(res.traj_mean[:, :2]) - x_test[:, :2], axis=-1
+    )
+    assert float(err[-10:].mean()) < 1.0, err[-10:]
