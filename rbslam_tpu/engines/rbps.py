@@ -65,6 +65,7 @@ class RBPSConfig(NamedTuple):
     jitter: float = 1e-2              # src/particleSmoother.m:70
     joseph: bool = False
     use_fused_kf: bool = False        # Pallas fused gather+KF (dense, ny<=3)
+    cov_dtype: str = "float32"        # bf16 covariance carry (dense path)
 
 
 class RBPSResult(NamedTuple):
@@ -200,6 +201,8 @@ def _cpf_as_sweep(
         xn0 = xn0.at[n_p - 1].set(xnk[0])          # pin (:92-96)
     xl0, P0 = _init_linear(x0_lin, P0_lin, n_p)
     n_lin = xl0.shape[-1]
+    if dense and config.cov_dtype != "float32":
+        P0 = P0.astype(jnp.dtype(config.cov_dtype))
     if fused:
         pad = (-n_lin) % 8
         if pad:
@@ -311,7 +314,7 @@ def _cpf_as_sweep(
     key_pick = jax.random.fold_in(key, 7)
     ak = sample_categorical(key_pick, jnp.exp(logw_f))
     ess0 = jnp.exp(-jax.nn.logsumexp(2.0 * logw1n))
-    xlk, Pk = xl_f[ak], P_f[ak]
+    xlk, Pk = xl_f[ak], P_f[ak].astype(jnp.float32)
     if fused and xlk.shape[-1] != n_lin:
         xlk = xlk[..., :n_lin]
         Pk = Pk[..., :n_lin, :n_lin]
