@@ -41,9 +41,7 @@ from ..math.linalg import (
     tril_solve,
 )
 from ..models.base import DenseModel
-from ..ops.kalman import innovation_cov
 from ..ops.resampling import resample_indices, sample_categorical
-from ..math.linalg import gaussian_logpdf_chol, solve_psd
 from .rbpf import (
     _broadcast_time,
     _init_linear,
@@ -54,44 +52,48 @@ from .rbps import RBPSConfig, RBPSResult, _dyn_log_weights
 
 
 def _info_future_log_weights(ivec, Imat, P, halfLogDetP, ivec_add, Imat_add, jitter):
-    """Ancestor measurement weights, information form (:224-236)."""
+    """Ancestor measurement weights, information form (:224-236), batched
+    over the ensemble (one [N, nl, nl] Cholesky; storage dtypes are
+    promoted to f32 for the factorization)."""
+    Imat_end = symmetrize(Imat.astype(jnp.float32) + Imat_add[None])
+    L, retried = psd_cholesky(Imat_end, jitter)
+    v = tril_solve(L, ivec + ivec_add[None])
+    Pv = jnp.einsum(
+        "pij,pj->pi", P, ivec, preferred_element_type=jnp.float32
+    )
+    quad0 = jnp.sum(ivec * Pv, axis=-1)
+    logw = (
+        -0.5 * quad0
+        - halfLogDetP
+        - half_logdet(L)
+        + 0.5 * jnp.sum(v * v, axis=-1)
+    )
+    return logw, retried
 
-    def one(ivec_i, Imat_i, P_i, hldp_i):
-        ivec_end = ivec_i + ivec_add
-        Imat_end = symmetrize(Imat_i + Imat_add)
-        L, retried = psd_cholesky(Imat_end, jitter)
-        v = tril_solve(L, ivec_end)
-        logw = (
-            -0.5 * ivec_i @ (P_i @ ivec_i)
-            - hldp_i
-            - half_logdet(L)
-            + 0.5 * jnp.sum(v * v)
-        )
-        return logw, retried
 
-    return jax.vmap(one)(ivec, Imat, P, halfLogDetP)
-
-
-def _kf_update_with_info(C, P, xl, ivec, Imat, hldp, y_t, R, Rinv, jitter):
-    """Per-particle KF update + information-pair update (:316-335) and
-    halfLogDetP recursion (:298). Returns
+def _kf_info_update_batched(C, P, xl, ivec, Imat, hldp, y_t, R, Rinv,
+                            half_logdet_R, jitter, joseph):
+    """Whole-ensemble KF update + information-pair update (:316-335) and
+    halfLogDetP recursion (:298). C [N,ny,nl]; P/Imat may be stored in a
+    reduced dtype (accumulation stays f32). Returns
     (xl', P', ivec', Imat', hldp', logw, retried)."""
-    e = y_t - C @ xl
-    S, CP = innovation_cov(C, P, R)
-    L, retried = psd_cholesky(S, jitter)
-    logw = gaussian_logpdf_chol(e, L)
-    K = solve_psd(L, CP).T
-    xl_new = xl + K @ e
-    P_new = symmetrize(P - K @ S @ K.T)
-    CtRinv = C.T @ Rinv
-    ivec_new = ivec + CtRinv @ y_t
-    Imat_new = Imat + CtRinv @ C
+    from ..ops.kalman import kalman_update_dense_batched_hld
+
+    xl_new, P_new, logw, retried, hld_S = kalman_update_dense_batched_hld(
+        C, P, xl, y_t, R, jitter, joseph
+    )
+    CtRinv = jnp.einsum("pki,kl->pil", C, Rinv)          # [N, nl, ny]
+    ivec_new = ivec + jnp.einsum("pil,l->pi", CtRinv, y_t)
+    dI = jnp.einsum(
+        "pil,plj->pij", CtRinv, C, preferred_element_type=jnp.float32
+    )
+    Imat_new = Imat + dI.astype(Imat.dtype)
     # halfLogDetP' = -sum log diag chol(S) + 0.5 log|R| + halfLogDetP
-    hldp_new = -half_logdet(L) + 0.5 * jnp.linalg.slogdet(R)[1] + hldp
+    hldp_new = -hld_S + half_logdet_R + hldp
     return xl_new, P_new, ivec_new, Imat_new, hldp_new, logw, retried
 
 
-@partial(jax.jit, static_argnames=("model", "config", "is_first"))
+@partial(jax.jit, static_argnames=("model", "config", "is_first", "mesh"))
 def _info_sweep(
     key,
     model: DenseModel,
@@ -106,11 +108,43 @@ def _info_sweep(
     config: RBPSConfig,
     xnk,
     is_first: bool,
+    mesh=None,
 ):
     n_p = config.n_particles
     T, ny = y.shape
     R = jnp.asarray(R)
     Rinv = jnp.linalg.inv(R)
+
+    if mesh is not None:
+        # GSPMD multi-chip: ensemble tensors shard their particle axis;
+        # the [N, nl, nl] covariance / information matrices additionally
+        # shard a basis-block axis over the ``map`` mesh axis (the
+        # "map-axis model parallelism" of SURVEY §2.4). XLA inserts the
+        # psum/all-gather collectives (weight normalization, the nl^3
+        # ancestor-weight Cholesky) from these constraints.
+        from ..parallel.mesh import particle_map_sharding, particle_sharding
+
+        shard_map = mesh.shape.get("map", 1) > 1
+        _mat_sh = (
+            particle_map_sharding(mesh, 3, 2)
+            if shard_map
+            else particle_sharding(mesh, 3)
+        )
+
+        def _constrain(xn, xl, P, ivec, Imat, hldp, logw):
+            wsc = jax.lax.with_sharding_constraint
+            return (
+                wsc(xn, particle_sharding(mesh, 2)),
+                wsc(xl, particle_sharding(mesh, 2)),
+                wsc(P, _mat_sh),
+                wsc(ivec, particle_sharding(mesh, 2)),
+                wsc(Imat, _mat_sh),
+                wsc(hldp, particle_sharding(mesh, 1)),
+                wsc(logw, particle_sharding(mesh, 1)),
+            )
+    else:
+        def _constrain(*args):
+            return args
 
     xn0 = jnp.broadcast_to(
         jnp.asarray(x0_nonlin), (n_p,) + jnp.asarray(x0_nonlin).shape
@@ -125,6 +159,11 @@ def _info_sweep(
     ivec0 = xl0 / p0_diag[None, :]
     Imat0 = jnp.broadcast_to(Imat0_single, (n_p,) + Imat0_single.shape)
     hldp0 = jnp.full((n_p,), 0.5 * jnp.sum(jnp.log(p0_diag)), dtype=y.dtype)
+    if config.cov_dtype != "float32":
+        cd = jnp.dtype(config.cov_dtype)
+        P0 = P0.astype(cd)
+        Imat0 = Imat0.astype(cd)
+    half_logdet_R = 0.5 * jnp.linalg.slogdet(R)[1]
 
     if not is_first:
         C_ref = _jacobian_batch(model, xnk)      # [T, ny, n_lin]
@@ -138,11 +177,10 @@ def _info_sweep(
 
     def meas_all(xn, xl, P, ivec, Imat, hldp, y_t):
         C = _jacobian_batch(model, xn)
-        return jax.vmap(
-            lambda Ci, Pi, xli, iv, Im, hl: _kf_update_with_info(
-                Ci, Pi, xli, iv, Im, hl, y_t, R, Rinv, config.jitter
-            )
-        )(C, P, xl, ivec, Imat, hldp)
+        return _kf_info_update_batched(
+            C, P, xl, ivec, Imat, hldp, y_t, R, Rinv, half_logdet_R,
+            config.jitter, config.joseph,
+        )
 
     # t = 0
     xl1, P1, ivec1, Imat1, hldp1, logw1, retried0 = meas_all(
@@ -196,6 +234,11 @@ def _info_sweep(
         )
         _, logw_nn, _ = logsumexp_normalize(logw)
         ess = jnp.exp(-jax.nn.logsumexp(2.0 * logw_nn))
+        xn_new, xl_new, P_new, ivec_new, Imat_new, hldp_new, logw_nn = (
+            _constrain(
+                xn_new, xl_new, P_new, ivec_new, Imat_new, hldp_new, logw_nn
+            )
+        )
         carry_new = (
             xn_new, xl_new, P_new, ivec_new, Imat_new, hldp_new,
             logw_nn, ivec_add, Imat_add,
@@ -206,8 +249,11 @@ def _info_sweep(
     Qb, dtb = _broadcast_time(Q, dt, T)
     keys = jax.random.split(key, T - 1)
     inputs = (keys, y[1:], dx, Qb, dtb, jnp.arange(1, T))
+    xn0c, xl1, P1, ivec1, Imat1, hldp1, logw1n = _constrain(
+        xn0, xl1, P1, ivec1, Imat1, hldp1, logw1n
+    )
     carry0 = (
-        xn0, xl1, P1, ivec1, Imat1, hldp1, logw1n,
+        xn0c, xl1, P1, ivec1, Imat1, hldp1, logw1n,
         ivec_add0, Imat_add0, jnp.sum(retried0),
     )
     final, (xn_hist, ancestors, ess_t) = jax.lax.scan(step, carry0, inputs)
@@ -219,7 +265,7 @@ def _info_sweep(
     ak = sample_categorical(jax.random.fold_in(key, 7), jnp.exp(logw_f))
     ess0 = jnp.exp(-jax.nn.logsumexp(2.0 * logw1n))
     return (
-        xn_traj[:, ak], xl_f[ak], P_f[ak],
+        xn_traj[:, ak], xl_f[ak], P_f[ak].astype(jnp.float32),
         jnp.concatenate([ess0[None], ess_t]), retries,
     )
 
@@ -238,8 +284,13 @@ def run_rbps_information_form(
     config: RBPSConfig,
     mask: Optional[jnp.ndarray] = None,
     checkpoint_dir: Optional[str] = None,
+    mesh=None,
 ) -> RBPSResult:
-    """N_K information-form CPF-AS sweeps (dense features only, :77-80)."""
+    """N_K information-form CPF-AS sweeps (dense features only, :77-80).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with ``(particles, map)``
+    axes — shards the sweep's ensemble over devices (multi-chip path).
+    """
     if not isinstance(model, DenseModel):
         raise ValueError(
             "information-form smoother supports dense features only "
@@ -255,7 +306,7 @@ def run_rbps_information_form(
         del mask  # dense-only: no visibility masking
         return _info_sweep(
             sub, model, dx, y, x0_nonlin, x0_lin, P0_lin,
-            Q, R, dt, config, xnk, is_first,
+            Q, R, dt, config, xnk, is_first, mesh,
         )
 
     mask_arr = jnp.ones_like(y)

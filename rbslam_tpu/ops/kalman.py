@@ -192,6 +192,15 @@ def kalman_update_dense_batched(C, P, xl, y, R, jitter: float,
     batch (see :func:`_chol_small_batched`) instead of lax.linalg.
     Returns (xl', P', logw [N], retried [N]).
     """
+    return kalman_update_dense_batched_hld(C, P, xl, y, R, jitter, joseph)[:4]
+
+
+def kalman_update_dense_batched_hld(C, P, xl, y, R, jitter: float,
+                                    joseph: bool = False):
+    """As :func:`kalman_update_dense_batched` but additionally returns
+    ``hld_S [N] = sum log diag chol(S)`` — the innovation half-log-det the
+    information-form smoother's ``halfLogDetP`` recursion consumes
+    (src/particleSmootherInformationForm.m:298)."""
     if C.shape[1] <= 3:
         return _kalman_update_dense_batched_small(
             C, P, xl, y, R, jitter, joseph
@@ -211,11 +220,8 @@ def _kalman_update_dense_batched_small(C, P, xl, y, R, jitter, joseph):
     L, retried = _chol_small_batched(S, jitter)
     v = _tri_solve_small_batched(L, e)
     ny = e.shape[-1]
-    logw = (
-        -jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-        - 0.5 * jnp.sum(v * v, axis=-1)
-        - 0.5 * ny * _LOG2PI
-    )
+    hld = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    logw = -hld - 0.5 * jnp.sum(v * v, axis=-1) - 0.5 * ny * _LOG2PI
     Sinv = _inv_from_chol_small_batched(L)
     K = jnp.einsum("pji,pjk->pik", CP, Sinv)            # [N, nl, ny]
     xl_new = xl + jnp.einsum("pij,pj->pi", K, e)
@@ -235,7 +241,7 @@ def _kalman_update_dense_batched_small(C, P, xl, y, R, jitter, joseph):
             preferred_element_type=jnp.float32,
         )
         P_new = P - downdate.astype(P.dtype)
-    return xl_new, symmetrize(P_new).astype(P.dtype), logw, retried
+    return xl_new, symmetrize(P_new).astype(P.dtype), logw, retried, hld
 
 
 def _kalman_update_dense_batched_lax(C, P, xl, y, R, jitter, joseph):
@@ -251,6 +257,7 @@ def _kalman_update_dense_batched_lax(C, P, xl, y, R, jitter, joseph):
     ) + R
     L, retried = psd_cholesky(S, jitter)
     logw = gaussian_logpdf_chol(e, L)
+    hld = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     K = jnp.swapaxes(solve_psd(L, CP), -1, -2)          # [N, nl, ny]
     xl_new = xl + jnp.einsum("pij,pj->pi", K, e)
     if joseph:
@@ -266,7 +273,7 @@ def _kalman_update_dense_batched_lax(C, P, xl, y, R, jitter, joseph):
             preferred_element_type=jnp.float32,
         )
         P_new = P - downdate.astype(P.dtype)
-    return xl_new, symmetrize(P_new).astype(P.dtype), logw, retried
+    return xl_new, symmetrize(P_new).astype(P.dtype), logw, retried, hld
 
 
 def kalman_update_masked_batched(yhat, H, P, xl, y, R, mask, jitter: float):

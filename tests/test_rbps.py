@@ -72,6 +72,30 @@ def test_rbps_dense_radio_end_to_end():
     assert min(rmses[1:]) < 0.6, rmses
 
 
+def test_rbps_info_bf16_covariance():
+    """Info-form smoother with bf16 covariance/information storage stays
+    close to the f32 run (same sampler, reduced-precision carry)."""
+    data, model, basis, center, k, Q = _radio_setup()
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    cfg32 = RBPSConfig(n_particles=30, n_sweeps=3)
+    cfg16 = cfg32._replace(cov_dtype="bfloat16")
+    res32 = run_rbps_information_form(jax.random.PRNGKey(8), *args, cfg32)
+    res16 = run_rbps_information_form(jax.random.PRNGKey(8), *args, cfg16)
+    assert res16.PK.dtype == jnp.float32  # cast back on output
+    r32 = float(
+        aligned_position_rmse(jnp.asarray(data.pos), res32.XNK[-1, :, :2])
+    )
+    r16 = float(
+        aligned_position_rmse(jnp.asarray(data.pos), res16.XNK[-1, :, :2])
+    )
+    assert np.isfinite(r16)
+    assert abs(r32 - r16) < 0.5, (r32, r16)
+
+
 def test_rbps_info_matches_naive_statistically():
     """Both smoothers on the same workload produce sampled trajectories
     with comparable RMSE (they implement the same sampler)."""

@@ -69,3 +69,31 @@ def test_multi_step_sharded_chain():
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(3, 2, devices=jax.devices()[:8])
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2)])
+def test_sharded_info_smoother_matches_single_device(mesh_shape):
+    """The GSPMD-sharded information-form smoother equals the
+    unsharded run (same keys; particle + map axes partitioned)."""
+    import jax.numpy as jnp
+
+    from rbslam_tpu.engines import RBPSConfig, run_rbps_information_form
+    from test_rbpf import THETA, _radio_setup
+
+    data, model, basis, center, k, Q = _radio_setup()
+    cfg = RBPSConfig(n_particles=16, n_sweeps=2)
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0, cfg,
+    )
+    key = jax.random.PRNGKey(3)
+    res_1 = run_rbps_information_form(key, *args)
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[:8])
+    res_sh = run_rbps_information_form(key, *args, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.XNK), np.asarray(res_1.XNK), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.XLK), np.asarray(res_1.XLK), atol=1e-3
+    )
