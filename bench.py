@@ -56,7 +56,8 @@ def _build_problem(m_basis, n_particles, n_steps, seed=1,
 
 
 def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
-               fused=False, pallas_basis=False, cov_dtype="float32"):
+               fused=False, pallas_basis=False, cov_dtype="float32",
+               symmetrize=False):
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +67,8 @@ def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
         m_basis, n_particles, n_steps, pallas_basis=pallas_basis
     )
     cfg = RBPFConfig(n_particles=n_particles, resampling="systematic",
-                     use_fused_kf=fused, cov_dtype=cov_dtype)
+                     use_fused_kf=fused, cov_dtype=cov_dtype,
+                     symmetrize_cov=symmetrize)
     args = (
         model, data.dx, data.y, data.init_state,
         jnp.zeros(potential.n_lin), jnp.diag(k), Q, R, 0.01, cfg,
@@ -207,7 +209,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--particles", type=int, default=16384)
-    ap.add_argument("--basis", type=int, default=128)
+    # m = 125 makes n_lin = 3 + m = 128 — exactly one lane tile, so the
+    # covariance layout carries zero padding (picking MXU/VPU-friendly
+    # model dims is the TPU-native move; m=128 would pad n_lin 131->256)
+    ap.add_argument("--basis", type=int, default=125)
     ap.add_argument("--steps", type=int, default=192)
     ap.add_argument("--fused", dest="fused", action="store_true",
                     default=False,
@@ -221,6 +226,9 @@ def main():
                     help="pf = gridded terrain PF (1M-particle path)")
     ap.add_argument("--pallas-basis", action="store_true",
                     help="Pallas fused basis-eval kernel")
+    ap.add_argument("--symmetrize", action="store_true",
+                    help="re-symmetrize P every step (reference filter "
+                         "does not; costs an extra HBM pass)")
     args = ap.parse_args()
 
     if args.quick:
@@ -250,7 +258,7 @@ def main():
     throughput, elapsed, T = bench_rbpf(
         m_basis, n_particles, n_steps,
         fused=args.fused, pallas_basis=args.pallas_basis,
-        cov_dtype=args.cov_dtype,
+        cov_dtype=args.cov_dtype, symmetrize=args.symmetrize,
     )
 
     # baseline cost measured at small particle count, cost/particle-step

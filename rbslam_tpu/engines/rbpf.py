@@ -59,6 +59,10 @@ class RBPFConfig(NamedTuple):
     # halves the dominant HBM traffic (contractions and the fused
     # kernels still accumulate in f32)
     cov_dtype: str = "float32"
+    # re-symmetrize P after every downdate (an extra HBM pass; the
+    # reference filter does not, src/particleFilter.m:198 — fp drift is
+    # surfaced by the chol_retries counter)
+    symmetrize_cov: bool = True
 
 
 class RBPFResult(NamedTuple):
@@ -141,13 +145,14 @@ def _jacobian_batch(model, xn):
     return jax.vmap(model.meas_jacobian)(xn)
 
 
-def _measurement_update(model, xn, xl, P, y_t, R, mask_t, jitter, joseph):
+def _measurement_update(model, xn, xl, P, y_t, R, mask_t, jitter, joseph,
+                        symmetrize_out=True):
     """Vmapped weight + KF update for one time step; returns
     (xl', P', logw, retries)."""
     if isinstance(model, DenseModel):
         C = _jacobian_batch(model, xn)                   # [P, ny, nl]
         xl_new, P_new, logw, retried = kalman_update_dense_batched(
-            C, P, xl, y_t, R, jitter, joseph
+            C, P, xl, y_t, R, jitter, joseph, symmetrize_out
         )
     else:
         yhat, H = jax.vmap(model.measure)(xn, xl)        # [P, ny], [P, ny, nl]
@@ -203,9 +208,11 @@ def run_rbpf(
     if config.cov_dtype != "float32":
         P0 = P0.astype(jnp.dtype(config.cov_dtype))
     if fused:
-        # Mosaic DMA slices need the covariance dims 8-aligned; carry the
-        # linear state zero-padded through the scan and slice at the end
-        pad = (-n_lin) % 8
+        # Mosaic manual-DMA row slices need lane-tile (128) alignment;
+        # the physical HBM layout lane-pads to 128 anyway, so this costs
+        # no bandwidth beyond the padded layout. Carry the linear state
+        # zero-padded through the scan and slice at the end.
+        pad = (-n_lin) % 128
         if pad:
             xl0 = jnp.pad(xl0, ((0, 0), (0, pad)))
             P0 = jnp.pad(P0, ((0, 0), (0, pad), (0, pad)))
@@ -221,7 +228,7 @@ def run_rbpf(
     else:
         xl1, P1, logw1, retries0 = _measurement_update(
             model, xn0, xl0, P0, y[0], R, mask[0], config.jitter,
-            config.joseph,
+            config.joseph, config.symmetrize_cov,
         )
     w1, logw1n, logz0 = logsumexp_normalize(logw1)
 
@@ -234,6 +241,7 @@ def run_rbpf(
         if config.ess_threshold >= 1.0:
             ai = resample_indices(k_res, w, n_p, config.resampling)
             logw_prev = jnp.full_like(logw_n, -jnp.log(n_p))
+            do_res = None
         else:
             ess_prev = ess_from_logw(logw_n)
             do_res = ess_prev <= config.ess_threshold * n_p
@@ -252,18 +260,27 @@ def run_rbpf(
         )(dyn_keys, xn_anc)
 
         if fused:
-            from ..kernels.kf_update import fused_gather_kf_update_2pass
+            from ..kernels.kf_update import fused_gather_kf_update_1pass
 
             C = _pad_cols(_jacobian_batch(model, xn_new), P.shape[-1])
-            xl_new, P_new, logw, retried_b = fused_gather_kf_update_2pass(
+            xl_new, P_new, logw, retried_b = fused_gather_kf_update_1pass(
                 ai, C, xl_anc, P, y_t, R, config.jitter
             )
             retried = jnp.sum(retried_b)
         else:
-            P_anc = jnp.take(P, ai, axis=0)
+            if do_res is None:
+                P_anc = jnp.take(P, ai, axis=0)
+            else:
+                # ESS-adaptive: the P gather is the dominant HBM cost of
+                # a step — execute it only on resampling steps (lax.cond
+                # runs a single branch, unlike a select)
+                P_anc = jax.lax.cond(
+                    do_res, lambda p: jnp.take(p, ai, axis=0),
+                    lambda p: p, P,
+                )
             xl_new, P_new, logw, retried = _measurement_update(
                 model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
-                config.jitter, config.joseph,
+                config.jitter, config.joseph, config.symmetrize_cov,
             )
         logw = logw_prev + jnp.log(n_p) + logw  # accumulate (no-op at thr=1)
         w_new, logw_nn, logz = logsumexp_normalize(logw)

@@ -66,6 +66,7 @@ class RBPSConfig(NamedTuple):
     joseph: bool = False
     use_fused_kf: bool = False        # Pallas fused gather+KF (dense, ny<=3)
     cov_dtype: str = "float32"        # bf16 covariance carry (dense path)
+    symmetrize_cov: bool = True       # see RBPFConfig.symmetrize_cov
 
 
 class RBPSResult(NamedTuple):
@@ -204,7 +205,7 @@ def _cpf_as_sweep(
     if dense and config.cov_dtype != "float32":
         P0 = P0.astype(jnp.dtype(config.cov_dtype))
     if fused:
-        pad = (-n_lin) % 8
+        pad = (-n_lin) % 128        # lane-tile alignment (see rbpf.py)
         if pad:
             xl0 = jnp.pad(xl0, ((0, 0), (0, pad)))
             P0 = jnp.pad(P0, ((0, 0), (0, pad), (0, pad)))
@@ -232,7 +233,7 @@ def _cpf_as_sweep(
     else:
         xl1, P1, logw1, retries0 = _measurement_update(
             model, xn0, xl0, P0, jnp.nan_to_num(y[0]), R, mask[0],
-            config.jitter, config.joseph,
+            config.jitter, config.joseph, config.symmetrize_cov,
         )
     _, logw1n, _ = logsumexp_normalize(logw1)
 
@@ -275,10 +276,10 @@ def _cpf_as_sweep(
             xn_new = xn_new.at[n_p - 1].set(xnk[t_idx])   # keep reference state
 
         if fused:
-            from ..kernels.kf_update import fused_gather_kf_update_2pass
+            from ..kernels.kf_update import fused_gather_kf_update_1pass
 
             C_t = _pad_cols(_jacobian_batch(model, xn_new), P.shape[-1])
-            xl_new, P_new, logw, retried_b = fused_gather_kf_update_2pass(
+            xl_new, P_new, logw, retried_b = fused_gather_kf_update_1pass(
                 ai, C_t, xl_anc, P, y_t, R, config.jitter
             )
             retried_kf = jnp.sum(retried_b)
@@ -286,7 +287,7 @@ def _cpf_as_sweep(
             P_anc = jnp.take(P, ai, axis=0)
             xl_new, P_new, logw, retried_kf = _measurement_update(
                 model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
-                config.jitter, config.joseph,
+                config.jitter, config.joseph, config.symmetrize_cov,
             )
         _, logw_nn, _ = logsumexp_normalize(logw)
         ess = jnp.exp(-jax.nn.logsumexp(2.0 * logw_nn))

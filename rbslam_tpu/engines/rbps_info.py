@@ -72,7 +72,8 @@ def _info_future_log_weights(ivec, Imat, P, halfLogDetP, ivec_add, Imat_add, jit
 
 
 def _kf_info_update_batched(C, P, xl, ivec, Imat, hldp, y_t, R, Rinv,
-                            half_logdet_R, jitter, joseph):
+                            half_logdet_R, jitter, joseph,
+                            symmetrize_out=True):
     """Whole-ensemble KF update + information-pair update (:316-335) and
     halfLogDetP recursion (:298). C [N,ny,nl]; P/Imat may be stored in a
     reduced dtype (accumulation stays f32). Returns
@@ -80,7 +81,7 @@ def _kf_info_update_batched(C, P, xl, ivec, Imat, hldp, y_t, R, Rinv,
     from ..ops.kalman import kalman_update_dense_batched_hld
 
     xl_new, P_new, logw, retried, hld_S = kalman_update_dense_batched_hld(
-        C, P, xl, y_t, R, jitter, joseph
+        C, P, xl, y_t, R, jitter, joseph, symmetrize_out
     )
     CtRinv = jnp.einsum("pki,kl->pil", C, Rinv)          # [N, nl, ny]
     ivec_new = ivec + jnp.einsum("pil,l->pi", CtRinv, y_t)
@@ -179,7 +180,7 @@ def _info_sweep(
         C = _jacobian_batch(model, xn)
         return _kf_info_update_batched(
             C, P, xl, ivec, Imat, hldp, y_t, R, Rinv, half_logdet_R,
-            config.jitter, config.joseph,
+            config.jitter, config.joseph, config.symmetrize_cov,
         )
 
     # t = 0

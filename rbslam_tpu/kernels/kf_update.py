@@ -203,6 +203,254 @@ def _fused_call(ai, C, xl_g, e, yR, P_all, ny, nl, block, jitter,
     )(ai, C, xl_g, e, yR, P_all)
 
 
+def _chol_scalars(S, ny: int, jitter: float):
+    """Scalar-form lower-Cholesky of a tiny SPD matrix (ny <= 3) with the
+    jitter fallback folded in. Mosaic has no scatter, so no `.at[].set`:
+    everything stays individual scalars. Returns (entries, bad)."""
+    s11, s21, s22, s31, s32, s33 = (S[0, 0], None, None, None, None, None)
+    if ny >= 2:
+        s21, s22 = S[1, 0], S[1, 1]
+    if ny >= 3:
+        s31, s32, s33 = S[2, 0], S[2, 1], S[2, 2]
+
+    def pivots(s11, s21, s22, s31, s32, s33):
+        ok = s11 > 0
+        safe = lambda x: jnp.where(x > 0, x, 1.0)
+        if ny >= 2:
+            l11 = jnp.sqrt(jnp.abs(s11))
+            l21 = s21 / safe(l11)
+            p2 = s22 - l21 * l21
+            ok = ok & (p2 > 0)
+        if ny >= 3:
+            l31 = s31 / safe(l11)
+            l22 = jnp.sqrt(jnp.abs(p2))
+            l32 = (s32 - l31 * l21) / safe(l22)
+            p3 = s33 - l31 * l31 - l32 * l32
+            ok = ok & (p3 > 0)
+        return ok
+
+    ok = pivots(s11, s21, s22, s31, s32, s33)
+    bad = ~ok
+    s11 = jnp.where(ok, s11, s11 + jitter)
+    if ny >= 2:
+        s22 = jnp.where(ok, s22, s22 + jitter)
+    if ny >= 3:
+        s33 = jnp.where(ok, s33, s33 + jitter)
+
+    l11 = jnp.sqrt(s11)
+    l21 = l22 = l31 = l32 = l33 = None
+    if ny >= 2:
+        l21 = s21 / l11
+        l22 = jnp.sqrt(s22 - l21 * l21)
+    if ny >= 3:
+        l31 = s31 / l11
+        l32 = (s32 - l31 * l21) / l22
+        l33 = jnp.sqrt(s33 - l31 * l31 - l32 * l32)
+    return (l11, l21, l22, l31, l32, l33), bad
+
+
+def _solve_logw_scalars(ls, e, ny: int):
+    """Whitened residual + Gaussian log-density from scalar Cholesky."""
+    l11, l21, l22, l31, l32, l33 = ls
+    v1 = e[0] / l11
+    vv = v1 * v1
+    logdiag = jnp.log(l11)
+    if ny >= 2:
+        v2 = (e[1] - l21 * v1) / l22
+        vv = vv + v2 * v2
+        logdiag = logdiag + jnp.log(l22)
+    if ny >= 3:
+        v3 = (e[2] - l31 * v1 - l32 * v2) / l33
+        vv = vv + v3 * v3
+        logdiag = logdiag + jnp.log(l33)
+    return -logdiag - 0.5 * vv - 0.5 * ny * _LOG2PI
+
+
+def _sinv_scalars(ls, ny: int):
+    """S^-1 entries from the scalar Cholesky: Sinv = Li' Li."""
+    l11, l21, l22, l31, l32, l33 = ls
+    i11 = 1.0 / l11
+    if ny == 1:
+        return ((i11 * i11,),)
+    i22 = 1.0 / l22
+    i21 = -l21 * i11 * i22
+    if ny == 2:
+        return (
+            (i11 * i11 + i21 * i21, i21 * i22),
+            (i21 * i22, i22 * i22),
+        )
+    i33 = 1.0 / l33
+    i32 = -l32 * i22 * i33
+    i31 = -(l31 * i11 + l32 * i21) * i33
+    return (
+        (i11 * i11 + i21 * i21 + i31 * i31,
+         i21 * i22 + i31 * i32, i31 * i33),
+        (i21 * i22 + i31 * i32, i22 * i22 + i32 * i32, i32 * i33),
+        (i31 * i33, i32 * i33, i33 * i33),
+    )
+
+
+def _kernel_1pass(ny: int, nl: int, block: int, jitter: float,
+                  ai_ref, C_ref, e_ref, xl_ref, R_ref,
+                  P_hbm,
+                  P_out_ref, xl_out_ref, logw_ref, bad_ref,
+                  pbuf, sems):
+    """One-pass fused gather + KF update, double-buffered across grid
+    steps: while block i computes, block i+1's ancestor rows are already
+    in flight (B row-DMAs per step, issued one grid step ahead), so the
+    gather latency hides behind the small-matrix compute. P is read once
+    and written once — the information-theoretic minimum for a resampled
+    covariance update."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    def issue(block_idx, slot):
+        base = block_idx * block
+        for b in range(block):
+            pltpu.make_async_copy(
+                P_hbm.at[ai_ref[base + b]], pbuf.at[slot, b],
+                sems.at[slot, b],
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        issue(i + 1, nxt)
+
+    R = R_ref[0:ny, 0:ny]
+    for b in range(block):
+        pltpu.make_async_copy(
+            P_hbm.at[ai_ref[i * block + b]], pbuf.at[slot, b],
+            sems.at[slot, b],
+        ).wait()
+        P = pbuf[slot, b].astype(jnp.float32)      # [nl, nl]
+        C = C_ref[b]                               # [ny, nl]
+        e = e_ref[b, 0:ny]
+        U = jax.lax.dot_general(                   # P C' : [nl, ny]
+            P, C, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        S = jax.lax.dot_general(
+            C, U, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + R
+        ls, bad = _chol_scalars(S, ny, jitter)
+        logw = _solve_logw_scalars(ls, e, ny)
+        Sinv = _sinv_scalars(ls, ny)
+        # K columns as scalar-weighted sums of U's columns (no small
+        # matmuls, no scatter): K[:, j] = sum_i U[:, i] Sinv[i][j]
+        ucols = [U[:, m:m + 1] for m in range(ny)]
+        kcols = [
+            sum(ucols[m] * Sinv[m][j] for m in range(ny))
+            for j in range(ny)
+        ]
+        xl_new = xl_ref[b, :]
+        for j in range(ny):
+            xl_new = xl_new + kcols[j][:, 0] * e[j]
+        xl_out_ref[b, :] = xl_new
+        K = kcols[0] if ny == 1 else jnp.concatenate(kcols, axis=1)
+        down = jax.lax.dot_general(                # K U' : [nl, nl]
+            K, U, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        P_out_ref[b] = (P - down).astype(P_out_ref.dtype)
+        logw_ref[b, 0] = logw
+        bad_ref[b, 0] = bad.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ny", "nl", "block", "jitter", "interpret")
+)
+def _fused_1pass_call(ai, C, xl_g, e, R_pad, P_all, ny, nl, block, jitter,
+                      interpret):
+    n = C.shape[0]
+    grid = (n // block,)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, ny, nl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, ny), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, nl), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ny, ny), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # P_all stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((block, nl, nl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, nl), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block, nl, nl), P_all.dtype),
+            pltpu.SemaphoreType.DMA((2, block)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_1pass, ny, nl, block, jitter),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, nl, nl), P_all.dtype),
+            jax.ShapeDtypeStruct((n, nl), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ai, C, e, xl_g, R_pad, P_all)
+
+
+def fused_gather_kf_update_1pass(ai, C, xl_gathered, P_all, y, R,
+                                 jitter: float = 1e-3, block: int = 16):
+    """Single-HBM-pass fused resampling-gather + dense KF update.
+
+    ai [N] ancestor indices (any order; systematic resampling emits them
+    sorted, which makes the row fetches near-streaming); C [N, ny, nl]
+    Jacobians at the propagated particles; xl_gathered [N, nl];
+    P_all [N, nl, nl] pre-resampling covariances (f32 or bf16 storage);
+    y [ny]; R [ny, ny]. Requires ny <= 3 and nl aligned to the sublane
+    tile of P's dtype (8 f32 / 16 bf16; engines pad, rbpf.py).
+    Returns (xl', P', logw, retried) — same contract as
+    ops.kalman.kalman_update_dense_batched (no trailing symmetrize; the
+    K U' downdate is symmetric up to fp rounding).
+    """
+    n, ny, nl = C.shape
+    if ny > 3:
+        raise ValueError("fused KF kernel supports ny <= 3")
+    if nl % 128:
+        # manual DMA row slices must be lane-tile (128) aligned — and the
+        # physical HBM layout lane-pads to 128 regardless, so a 128-
+        # multiple nl costs no extra bandwidth over the padded layout
+        raise ValueError(f"nl={nl} must be a multiple of 128 (pad upstream)")
+    # VMEM budget: two double-buffer slots + pipelined out blocks
+    bytes_per_row = nl * nl * P_all.dtype.itemsize
+    while block > 1 and (4 * block * bytes_per_row > 8 * 1024 * 1024
+                         or n % block):
+        block //= 2
+    interpret = jax.default_backend() != "tpu"
+    e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl_gathered)
+    P_new, xl_new, logw, bad = _fused_1pass_call(
+        ai.astype(jnp.int32), C.astype(jnp.float32),
+        xl_gathered.astype(jnp.float32), e.astype(jnp.float32),
+        jnp.asarray(R, jnp.float32), P_all,
+        ny, nl, block, jitter, interpret,
+    )
+    return xl_new, P_new, logw[:, 0], bad[:, 0].astype(bool)
+
+
 def _gather_u_kernel(ai_ref, C_ref, P_ref, U_ref):
     """U = P[ai[i]] @ C[i]^T — the gather rides the Pallas input pipeline
     (P's BlockSpec index_map reads the scalar-prefetched ancestors).

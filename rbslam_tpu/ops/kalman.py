@@ -184,7 +184,8 @@ def _inv_from_chol_small_batched(L):
 
 
 def kalman_update_dense_batched(C, P, xl, y, R, jitter: float,
-                                joseph: bool = False):
+                                joseph: bool = False,
+                                symmetrize_out: bool = True):
     """Whole-ensemble dense KF update: C [N,ny,nl], P [N,nl,nl], xl [N,nl].
 
     Same math as :func:`kalman_update_dense`; for ny <= 3 the innovation
@@ -192,23 +193,36 @@ def kalman_update_dense_batched(C, P, xl, y, R, jitter: float,
     batch (see :func:`_chol_small_batched`) instead of lax.linalg.
     Returns (xl', P', logw [N], retried [N]).
     """
-    return kalman_update_dense_batched_hld(C, P, xl, y, R, jitter, joseph)[:4]
+    return kalman_update_dense_batched_hld(
+        C, P, xl, y, R, jitter, joseph, symmetrize_out
+    )[:4]
 
 
 def kalman_update_dense_batched_hld(C, P, xl, y, R, jitter: float,
-                                    joseph: bool = False):
+                                    joseph: bool = False,
+                                    symmetrize_out: bool = True):
     """As :func:`kalman_update_dense_batched` but additionally returns
     ``hld_S [N] = sum log diag chol(S)`` — the innovation half-log-det the
     information-form smoother's ``halfLogDetP`` recursion consumes
-    (src/particleSmootherInformationForm.m:298)."""
+    (src/particleSmootherInformationForm.m:298).
+
+    ``symmetrize_out=False`` skips the trailing covariance symmetrization
+    — a full extra HBM pass over P. The reference filter does not
+    symmetrize either (``P -= K*SS*K'``, src/particleFilter.m:198); the
+    K S K' downdate is symmetric up to fp rounding and the jitter-retry
+    counter surfaces any drift.
+    """
     if C.shape[1] <= 3:
         return _kalman_update_dense_batched_small(
-            C, P, xl, y, R, jitter, joseph
+            C, P, xl, y, R, jitter, joseph, symmetrize_out
         )
-    return _kalman_update_dense_batched_lax(C, P, xl, y, R, jitter, joseph)
+    return _kalman_update_dense_batched_lax(
+        C, P, xl, y, R, jitter, joseph, symmetrize_out
+    )
 
 
-def _kalman_update_dense_batched_small(C, P, xl, y, R, jitter, joseph):
+def _kalman_update_dense_batched_small(C, P, xl, y, R, jitter, joseph,
+                                        symmetrize_out=True):
     cdtype = C.dtype
     e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl)
     CP = jnp.einsum(
@@ -241,10 +255,13 @@ def _kalman_update_dense_batched_small(C, P, xl, y, R, jitter, joseph):
             preferred_element_type=jnp.float32,
         )
         P_new = P - downdate.astype(P.dtype)
-    return xl_new, symmetrize(P_new).astype(P.dtype), logw, retried, hld
+    if symmetrize_out:
+        P_new = symmetrize(P_new)
+    return xl_new, P_new.astype(P.dtype), logw, retried, hld
 
 
-def _kalman_update_dense_batched_lax(C, P, xl, y, R, jitter, joseph):
+def _kalman_update_dense_batched_lax(C, P, xl, y, R, jitter, joseph,
+                                     symmetrize_out=True):
     # P may arrive in a reduced-precision storage dtype (bf16 covariance
     # carry); all contractions accumulate in f32
     cdtype = C.dtype
@@ -273,7 +290,9 @@ def _kalman_update_dense_batched_lax(C, P, xl, y, R, jitter, joseph):
             preferred_element_type=jnp.float32,
         )
         P_new = P - downdate.astype(P.dtype)
-    return xl_new, symmetrize(P_new).astype(P.dtype), logw, retried, hld
+    if symmetrize_out:
+        P_new = symmetrize(P_new)
+    return xl_new, P_new.astype(P.dtype), logw, retried, hld
 
 
 def kalman_update_masked_batched(yhat, H, P, xl, y, R, mask, jitter: float):

@@ -40,6 +40,26 @@ def test_single_kernel_matches_reference(ny):
     np.testing.assert_allclose(out[2], ref[2], atol=1e-5)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_one_pass_matches_reference(dtype):
+    # nl must be lane-tile (128) aligned for the manual-DMA path
+    ai, C, P, xl, y, R = _problem(nl=128)
+    from rbslam_tpu.kernels.kf_update import fused_gather_kf_update_1pass
+
+    P = P.astype(jnp.dtype(dtype))
+    Pg = jnp.take(P, ai, axis=0)
+    xlg = jnp.take(xl, ai, axis=0)
+    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
+    out = fused_gather_kf_update_1pass(ai, C, xlg, P, y, R)
+    tol = 1e-5 if dtype == "float32" else 5e-2
+    assert out[1].dtype == P.dtype
+    np.testing.assert_allclose(out[0], ref[0], atol=10 * tol)
+    np.testing.assert_allclose(
+        out[1].astype(jnp.float32), ref[1].astype(jnp.float32), atol=tol
+    )
+    np.testing.assert_allclose(out[2], ref[2], atol=10 * tol)
+
+
 def test_two_pass_matches_reference():
     ai, C, P, xl, y, R = _problem()
     Pg = jnp.take(P, ai, axis=0)

@@ -136,3 +136,33 @@ def test_rbpf_adaptive_resampling():
     )
     assert rmse < 0.5, rmse
     assert np.all(np.isfinite(np.asarray(res.logw)))
+
+
+def test_rbpf_no_symmetrize_stays_stable():
+    """symmetrize_cov=False (the reference filter's own semantics,
+    src/particleFilter.m:198) must not drift: same RMSE ballpark, no
+    jitter retries, and near-symmetric final covariances."""
+    data, model, basis, center, k, Q = _radio_setup()
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    base = dict(n_particles=32, resampling="systematic")
+    res_sym = run_rbpf(jax.random.PRNGKey(2), *args, RBPFConfig(**base))
+    res_ns = run_rbpf(
+        jax.random.PRNGKey(2), *args,
+        RBPFConfig(**base, symmetrize_cov=False),
+    )
+    r_sym = float(
+        aligned_position_rmse(jnp.asarray(data.pos), res_sym.traj_mean[:, :2])
+    )
+    r_ns = float(
+        aligned_position_rmse(jnp.asarray(data.pos), res_ns.traj_mean[:, :2])
+    )
+    assert abs(r_sym - r_ns) < 0.1, (r_sym, r_ns)
+    assert int(res_ns.chol_retries) == 0
+    asym = np.max(np.abs(np.asarray(
+        res_ns.P - np.swapaxes(np.asarray(res_ns.P), -1, -2)
+    )))
+    assert asym < 1e-4, asym
