@@ -57,7 +57,7 @@ def _build_problem(m_basis, n_particles, n_steps, seed=1,
 
 def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
                fused=False, pallas_basis=False, cov_dtype="float32",
-               symmetrize=False):
+               symmetrize=False, ess_threshold=1.0):
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +68,7 @@ def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
     )
     cfg = RBPFConfig(n_particles=n_particles, resampling="systematic",
                      use_fused_kf=fused, cov_dtype=cov_dtype,
-                     symmetrize_cov=symmetrize)
+                     symmetrize_cov=symmetrize, ess_threshold=ess_threshold)
     args = (
         model, data.dx, data.y, data.init_state,
         jnp.zeros(potential.n_lin), jnp.diag(k), Q, R, 0.01, cfg,
@@ -229,6 +229,10 @@ def main():
     ap.add_argument("--symmetrize", action="store_true",
                     help="re-symmetrize P every step (reference filter "
                          "does not; costs an extra HBM pass)")
+    ap.add_argument("--ess", type=float, default=1.0,
+                    help="ESS resampling threshold (1.0 = every step, "
+                         "the reference semantics; <1 skips the P gather "
+                         "on non-resampling steps)")
     args = ap.parse_args()
 
     if args.quick:
@@ -259,6 +263,7 @@ def main():
         m_basis, n_particles, n_steps,
         fused=args.fused, pallas_basis=args.pallas_basis,
         cov_dtype=args.cov_dtype, symmetrize=args.symmetrize,
+        ess_threshold=args.ess,
     )
 
     # baseline cost measured at small particle count, cost/particle-step
@@ -275,6 +280,7 @@ def main():
                     + (",fused" if args.fused else "")
                     + (",pallas-basis" if args.pallas_basis else "")
                     + (",bf16-cov" if args.cov_dtype == "bfloat16" else "")
+                    + (f",ess={args.ess}" if args.ess < 1.0 else "")
                     + "]"
                 ),
                 "value": round(throughput, 1),
