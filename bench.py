@@ -246,6 +246,9 @@ def main():
                     help="ESS resampling threshold (1.0 = every step, "
                          "the reference semantics; <1 skips the P gather "
                          "on non-resampling steps)")
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler trace of the timed "
+                         "region to LOGDIR (view with XProf)")
     args = ap.parse_args()
 
     if args.quick:
@@ -272,12 +275,21 @@ def main():
         )
         return
 
-    throughput, elapsed, T = bench_rbpf(
-        m_basis, n_particles, n_steps,
-        fused=args.fused, pallas_basis=args.pallas_basis,
-        cov_dtype=args.cov_dtype, symmetrize=args.symmetrize,
-        ess_threshold=args.ess,
-    )
+    import contextlib
+
+    if args.profile:
+        from rbslam_tpu.utils.profiling import trace_to
+
+        ctx = trace_to(args.profile)
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        throughput, elapsed, T = bench_rbpf(
+            m_basis, n_particles, n_steps,
+            fused=args.fused, pallas_basis=args.pallas_basis,
+            cov_dtype=args.cov_dtype, symmetrize=args.symmetrize,
+            ess_threshold=args.ess,
+        )
 
     # baseline cost measured at small particle count, cost/particle-step
     # is particle-count independent (sequential loop)

@@ -67,6 +67,13 @@ class RBPSConfig(NamedTuple):
     use_fused_kf: bool = False        # Pallas fused gather+KF (dense, ny<=3)
     cov_dtype: str = "float32"        # bf16 covariance carry (dense path)
     symmetrize_cov: bool = True       # see RBPFConfig.symmetrize_cov
+    # info-form ancestor weights: "cholesky" factorizes Imat+ImatAdd per
+    # particle per step (the reference's structure, O(nl^3)); "woodbury"
+    # maintains W = (Imat+ImatAdd)^-1 and its log-det via exact rank-ny
+    # updates/downdates (O(nl^2 ny) per particle-step — no factorization
+    # in the hot loop; XLA's batched cholesky/triangular_solve lower
+    # poorly on TPU, measured 16 ms/step at N=100, nl=515)
+    ancestor_form: str = "cholesky"
 
 
 class RBPSResult(NamedTuple):

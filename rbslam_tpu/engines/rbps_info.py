@@ -37,7 +37,6 @@ from ..math.linalg import (
     half_logdet,
     logsumexp_normalize,
     psd_cholesky,
-    symmetrize,
     tril_solve,
 )
 from ..models.base import DenseModel
@@ -55,7 +54,9 @@ def _info_future_log_weights(ivec, Imat, P, halfLogDetP, ivec_add, Imat_add, jit
     """Ancestor measurement weights, information form (:224-236), batched
     over the ensemble (one [N, nl, nl] Cholesky; storage dtypes are
     promoted to f32 for the factorization)."""
-    Imat_end = symmetrize(Imat.astype(jnp.float32) + Imat_add[None])
+    # no symmetrize: cholesky reads only the lower triangle, so the fp
+    # asymmetry of the accumulated information pair is irrelevant here
+    Imat_end = Imat.astype(jnp.float32) + Imat_add[None]
     L, retried = psd_cholesky(Imat_end, jitter)
     v = tril_solve(L, ivec + ivec_add[None])
     Pv = jnp.einsum(
@@ -71,12 +72,78 @@ def _info_future_log_weights(ivec, Imat, P, halfLogDetP, ivec_add, Imat_add, jit
     return logw, retried
 
 
+def _woodbury_rank_ny(W, hldM, U, sign: float, jitter):
+    """Exact rank-ny update of (W = M^-1, hldM = 0.5 log|M|) under
+    M' = M + sign * U U' (sign = +1 update / -1 downdate).
+
+        W'    = W - sign * G Bpos^-1 G',   G = W U,
+        Bpos  = I + sign * U' G            (SPD in both directions
+                                            while M' stays SPD),
+        hldM' = hldM + 0.5 log|Bpos|.
+
+    U: [N, nl, ny]. This is the O(nl^2 ny) alternative to re-factorizing
+    Imat+ImatAdd per step (RBPSConfig.ancestor_form="woodbury"); XLA's
+    batched nl^3 cholesky + triangular solve cost ~16 ms/step at N=100,
+    nl=515 on v5e, the rank-ny path ~4 ms. Returns (W', hldM', retried).
+    """
+    from ..ops.kalman import (
+        _chol_small_batched,
+        _inv_from_chol_small_batched,
+    )
+
+    ny = U.shape[-1]
+    G = jnp.einsum("pij,pjk->pik", W, U, preferred_element_type=jnp.float32)
+    Bpos = jnp.eye(ny, dtype=jnp.float32) + sign * jnp.einsum(
+        "pji,pjk->pik", U, G, preferred_element_type=jnp.float32
+    )
+    if ny <= 3:
+        L, retried = _chol_small_batched(Bpos, jitter)
+        Binv = _inv_from_chol_small_batched(L)
+    else:
+        L, retried = psd_cholesky(Bpos, jitter)
+        Binv = jax.vmap(
+            lambda Li: jax.scipy.linalg.cho_solve(
+                (Li, True), jnp.eye(ny, dtype=W.dtype)
+            )
+        )(L)
+    hldM_new = hldM + jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    )
+    GB = jnp.einsum("pik,pkl->pil", G, Binv)
+    # compute the rank-ny correction in f32, subtract in the storage
+    # dtype (no W-sized f32 temporary when W is carried in bf16)
+    corr = jnp.einsum(
+        "pil,pjl->pij", GB, G, preferred_element_type=jnp.float32
+    )
+    W_new = W - (sign * corr).astype(W.dtype)
+    return W_new, hldM_new, retried
+
+
+def _woodbury_future_log_weights(ivec, W, P, hldp, hldM, ivec_add):
+    """Ancestor measurement weights from the maintained inverse:
+    identical to :func:`_info_future_log_weights` with chol(Imat_end)
+    replaced by (W, hldM) — logw = -1/2 ivec'P ivec - hldp - hldM
+    + 1/2 (ivec+ivecAdd)' W (ivec+ivecAdd)."""
+    ivec_end = ivec + ivec_add[None]
+    Wv = jnp.einsum(
+        "pij,pj->pi", W, ivec_end, preferred_element_type=jnp.float32
+    )
+    quadW = jnp.sum(ivec_end * Wv, axis=-1)
+    Pv = jnp.einsum(
+        "pij,pj->pi", P, ivec, preferred_element_type=jnp.float32
+    )
+    quad0 = jnp.sum(ivec * Pv, axis=-1)
+    return -0.5 * quad0 - hldp - hldM + 0.5 * quadW
+
+
 def _kf_info_update_batched(C, P, xl, ivec, Imat, hldp, y_t, R, Rinv,
                             half_logdet_R, jitter, joseph,
-                            symmetrize_out=True):
+                            symmetrize_out=True, update_imat=True):
     """Whole-ensemble KF update + information-pair update (:316-335) and
     halfLogDetP recursion (:298). C [N,ny,nl]; P/Imat may be stored in a
-    reduced dtype (accumulation stays f32). Returns
+    reduced dtype (accumulation stays f32). ``update_imat=False`` passes
+    the Imat slot through untouched (the Woodbury ancestor form carries
+    W there and maintains it separately). Returns
     (xl', P', ivec', Imat', hldp', logw, retried)."""
     from ..ops.kalman import kalman_update_dense_batched_hld
 
@@ -85,10 +152,13 @@ def _kf_info_update_batched(C, P, xl, ivec, Imat, hldp, y_t, R, Rinv,
     )
     CtRinv = jnp.einsum("pki,kl->pil", C, Rinv)          # [N, nl, ny]
     ivec_new = ivec + jnp.einsum("pil,l->pi", CtRinv, y_t)
-    dI = jnp.einsum(
-        "pil,plj->pij", CtRinv, C, preferred_element_type=jnp.float32
-    )
-    Imat_new = Imat + dI.astype(Imat.dtype)
+    if update_imat:
+        dI = jnp.einsum(
+            "pil,plj->pij", CtRinv, C, preferred_element_type=jnp.float32
+        )
+        Imat_new = Imat + dI.astype(Imat.dtype)
+    else:
+        Imat_new = Imat
     # halfLogDetP' = -sum log diag chol(S) + 0.5 log|R| + halfLogDetP
     hldp_new = -hld_S + half_logdet_R + hldp
     return xl_new, P_new, ivec_new, Imat_new, hldp_new, logw, retried
@@ -176,21 +246,55 @@ def _info_sweep(
         ivec_add0 = jnp.zeros((model.n_lin,), dtype=y.dtype)
         Imat_add0 = jnp.zeros((model.n_lin, model.n_lin), dtype=y.dtype)
 
+    # Woodbury ancestor form: carry W = (Imat+ImatAdd)^-1 in the Imat
+    # slot and hldM = 0.5 log|Imat+ImatAdd| alongside, maintained by
+    # exact rank-ny transitions instead of per-step factorizations
+    use_wood = (config.ancestor_form == "woodbury") and (not is_first)
+    RiT = jnp.linalg.inv(jnp.linalg.cholesky(R)).T     # U = C' L_R^-T
+
     def meas_all(xn, xl, P, ivec, Imat, hldp, y_t):
         C = _jacobian_batch(model, xn)
-        return _kf_info_update_batched(
+        out = _kf_info_update_batched(
             C, P, xl, ivec, Imat, hldp, y_t, R, Rinv, half_logdet_R,
             config.jitter, config.joseph, config.symmetrize_cov,
+            update_imat=not use_wood,
         )
+        return (C,) + out
 
     # t = 0
-    xl1, P1, ivec1, Imat1, hldp1, logw1, retried0 = meas_all(
+    C0, xl1, P1, ivec1, Imat1, hldp1, logw1, retried0 = meas_all(
         xn0, xl0, P0, ivec0, Imat0, hldp0, y[0]
     )
     _, logw1n, _ = logsumexp_normalize(logw1)
 
+    n_lin = model.n_lin
+    if use_wood:
+        # W(1) = (Imat(0 post) + ImatAdd_[1:T))^-1. All xn0 rows are the
+        # broadcast initial state except the pinned reference particle,
+        # so TWO nl x nl factorizations cover the whole ensemble.
+        C2 = jnp.stack([C0[0], C0[n_p - 1]])           # [2, ny, nl]
+        D2 = jnp.einsum("pki,kl,plj->pij", C2, Rinv, C2)
+        Add1 = Imat_add0 - C_ref[0].T @ Rinv @ C_ref[0]
+        M2 = jnp.diag(1.0 / p0_diag)[None] + D2 + Add1[None]
+        L2 = jnp.linalg.cholesky(M2)
+        eye_nl = jnp.eye(n_lin, dtype=y.dtype)
+        W2 = jax.vmap(
+            lambda Li: jax.scipy.linalg.cho_solve((Li, True), eye_nl)
+        )(L2)
+        hld2 = jnp.sum(jnp.log(jnp.diagonal(L2, axis1=-2, axis2=-1)), -1)
+        sel = jnp.concatenate([
+            jnp.zeros(n_p - 1, jnp.int32), jnp.ones(1, jnp.int32)
+        ])
+        Imat1 = jnp.take(W2, sel, axis=0)              # W carried in slot
+        if config.cov_dtype != "float32":
+            Imat1 = Imat1.astype(jnp.dtype(config.cov_dtype))
+        hldM1 = jnp.take(hld2, sel, axis=0)
+    else:
+        hldM1 = jnp.zeros((n_p,), dtype=y.dtype)
+
     def step(carry, inputs):
-        (xn, xl, P, ivec, Imat, hldp, logw_n, ivec_add, Imat_add, retries) = carry
+        (xn, xl, P, ivec, Imat, hldp, hldM, logw_n, ivec_add, Imat_add,
+         retries) = carry
         k, y_t, u, Q_t, dt_t, t_idx = inputs
         k_res, k_dyn, k_anc = jax.random.split(k, 3)
 
@@ -208,9 +312,15 @@ def _info_sweep(
             Imat_add = Imat_add - CtRinv_prev @ C_prev
 
             logw_dyn = _dyn_log_weights(model, xnk[t_idx], xn, u, dt_t, Q_t)
-            logw_meas, retried = _info_future_log_weights(
-                ivec, Imat, P, hldp, ivec_add, Imat_add, config.jitter
-            )
+            if use_wood:
+                logw_meas = _woodbury_future_log_weights(
+                    ivec, Imat, P, hldp, hldM, ivec_add
+                )
+                retried = jnp.zeros((n_p,), bool)
+            else:
+                logw_meas, retried = _info_future_log_weights(
+                    ivec, Imat, P, hldp, ivec_add, Imat_add, config.jitter
+                )
             pa_log = logw_n + logw_dyn + logw_meas
             pa, _, _ = logsumexp_normalize(pa_log)
             anc_last = sample_categorical(k_anc, pa)
@@ -219,8 +329,8 @@ def _info_sweep(
         ai = ai.at[n_p - 1].set(anc_last)
         xn_anc = jnp.take(xn, ai, axis=0)
         gather = lambda a: jnp.take(a, ai, axis=0)
-        xl_a, P_a, ivec_a, Imat_a, hldp_a = map(
-            gather, (xl, P, ivec, Imat, hldp)
+        xl_a, P_a, ivec_a, Imat_a, hldp_a, hldM_a = map(
+            gather, (xl, P, ivec, Imat, hldp, hldM)
         )
 
         dyn_keys = jax.random.split(k_dyn, n_p)
@@ -230,9 +340,24 @@ def _info_sweep(
         if not is_first:
             xn_new = xn_new.at[n_p - 1].set(xnk[t_idx])
 
-        xl_new, P_new, ivec_new, Imat_new, hldp_new, logw, retried_kf = (
+        C_t, xl_new, P_new, ivec_new, Imat_new, hldp_new, logw, retried_kf = (
             meas_all(xn_new, xl_a, P_a, ivec_a, Imat_a, hldp_a, y_t)
         )
+        hldM_new = hldM_a
+        retries_w = jnp.zeros((), retries.dtype)
+        if use_wood:
+            # W: M(t) -> M(t+1) = M(t) + C_t' R^-1 C_t - C_ref' R^-1 C_ref
+            U = jnp.einsum("pki,km->pim", C_t, RiT)
+            Imat_new, hldM_new, r_u = _woodbury_rank_ny(
+                Imat_new, hldM_new, U, 1.0, config.jitter
+            )
+            Vb = jnp.broadcast_to(
+                (C_ref[t_idx].T @ RiT)[None], (n_p, model.n_lin, ny)
+            )
+            Imat_new, hldM_new, r_d = _woodbury_rank_ny(
+                Imat_new, hldM_new, Vb, -1.0, config.jitter
+            )
+            retries_w = jnp.sum(r_u) + jnp.sum(r_d)
         _, logw_nn, _ = logsumexp_normalize(logw)
         ess = jnp.exp(-jax.nn.logsumexp(2.0 * logw_nn))
         xn_new, xl_new, P_new, ivec_new, Imat_new, hldp_new, logw_nn = (
@@ -241,9 +366,9 @@ def _info_sweep(
             )
         )
         carry_new = (
-            xn_new, xl_new, P_new, ivec_new, Imat_new, hldp_new,
+            xn_new, xl_new, P_new, ivec_new, Imat_new, hldp_new, hldM_new,
             logw_nn, ivec_add, Imat_add,
-            retries + retries_anc + jnp.sum(retried_kf),
+            retries + retries_anc + jnp.sum(retried_kf) + retries_w,
         )
         return carry_new, (xn_new, ai.astype(jnp.int32), ess)
 
@@ -254,12 +379,12 @@ def _info_sweep(
         xn0, xl1, P1, ivec1, Imat1, hldp1, logw1n
     )
     carry0 = (
-        xn0c, xl1, P1, ivec1, Imat1, hldp1, logw1n,
+        xn0c, xl1, P1, ivec1, Imat1, hldp1, hldM1, logw1n,
         ivec_add0, Imat_add0, jnp.sum(retried0),
     )
     final, (xn_hist, ancestors, ess_t) = jax.lax.scan(step, carry0, inputs)
     xn_f, xl_f, P_f = final[0], final[1], final[2]
-    logw_f, retries = final[6], final[9]
+    logw_f, retries = final[7], final[10]
 
     xn_hist_full = jnp.concatenate([xn0[None], xn_hist], axis=0)
     xn_traj = reconstruct_trajectories(xn_hist_full, ancestors)

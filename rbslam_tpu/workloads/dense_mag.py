@@ -58,6 +58,9 @@ class DenseMagConfig:
     run_ekf: bool = True
     run_filter: bool = True
     seed: int = 1
+    cov_dtype: str = "float32"
+    symmetrize_cov: bool = True
+    ancestor_form: str = "cholesky"
 
 
 def build_problem(cfg: DenseMagConfig, key):
@@ -101,7 +104,9 @@ def run(cfg: DenseMagConfig) -> dict:
                 k_f, model, data.dx, y, data.init_state, x0_lin, P0,
                 Q, R, cfg.dt,
                 RBPFConfig(
-                    n_particles=cfg.n_particles, resampling=cfg.resampling
+                    n_particles=cfg.n_particles, resampling=cfg.resampling,
+                    cov_dtype=cfg.cov_dtype,
+                    symmetrize_cov=cfg.symmetrize_cov,
                 ),
             )
             jax.block_until_ready(res.traj_mean)
@@ -130,6 +135,9 @@ def run(cfg: DenseMagConfig) -> dict:
                     n_particles=cfg.n_particles,
                     n_sweeps=cfg.n_sweeps,
                     resampling=cfg.resampling,
+                    cov_dtype=cfg.cov_dtype,
+                    symmetrize_cov=cfg.symmetrize_cov,
+                    ancestor_form=cfg.ancestor_form,
                 ),
             )
             jax.block_until_ready(res_s.XNK)
@@ -211,6 +219,16 @@ def main(argv=None):
     ap.add_argument("--no-ekf", action="store_true")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cov-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="covariance/information storage dtype")
+    ap.add_argument("--no-symmetrize", action="store_true",
+                    help="skip the per-step covariance re-symmetrization "
+                         "pass (the reference filter's own semantics)")
+    ap.add_argument("--ancestor-form", default="cholesky",
+                    choices=["cholesky", "woodbury"],
+                    help="info-form ancestor weights: per-step nl^3 "
+                         "factorization vs rank-ny inverse maintenance")
     args = ap.parse_args(argv)
     cfg = DenseMagConfig(
         n_particles=10 if args.quick else args.particles,
@@ -222,6 +240,9 @@ def main(argv=None):
         smoother=args.smoother,
         run_ekf=not args.no_ekf,
         seed=args.seed,
+        cov_dtype=args.cov_dtype,
+        symmetrize_cov=not args.no_symmetrize,
+        ancestor_form=args.ancestor_form,
     )
     if args.compare:
         report(run_comparison(

@@ -96,6 +96,63 @@ def test_rbps_info_bf16_covariance():
     assert abs(r32 - r16) < 0.5, (r32, r16)
 
 
+def test_woodbury_rank_ny_matches_fresh_inverse():
+    """Chained rank-ny updates/downdates of (W, hldM) track the freshly
+    inverted matrix and its log-det."""
+    from rbslam_tpu.engines.rbps_info import _woodbury_rank_ny
+
+    key = jax.random.PRNGKey(0)
+    n_p, nl, ny = 4, 24, 3
+    A = 0.2 * jax.random.normal(key, (n_p, nl, nl))
+    M = jnp.einsum("pij,pkj->pik", A, A) + 3.0 * jnp.eye(nl)
+    W = jnp.linalg.inv(M)
+    hldM = 0.5 * jnp.linalg.slogdet(M)[1]
+    for i in range(4):
+        U = 0.5 * jax.random.normal(jax.random.fold_in(key, i), (n_p, nl, ny))
+        sign = 1.0 if i % 2 == 0 else -1.0
+        if sign < 0:
+            U = 0.2 * U   # keep M - UU' SPD
+        M = M + sign * jnp.einsum("pik,pjk->pij", U, U)
+        W, hldM, retried = _woodbury_rank_ny(W, hldM, U, sign, 1e-9)
+        assert not bool(jnp.any(retried))
+    np.testing.assert_allclose(
+        np.asarray(W), np.asarray(jnp.linalg.inv(M)), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(hldM), np.asarray(0.5 * jnp.linalg.slogdet(M)[1]),
+        rtol=1e-4,
+    )
+
+
+def test_rbps_info_woodbury_matches_cholesky():
+    """The Woodbury ancestor form samples trajectories of the same
+    quality as the per-step-factorization form (same algorithm, the
+    ancestor weights are mathematically identical)."""
+    data, model, basis, center, k, Q = _radio_setup()
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    cfg_c = RBPSConfig(n_particles=30, n_sweeps=3)
+    cfg_w = cfg_c._replace(ancestor_form="woodbury")
+    res_c = run_rbps_information_form(jax.random.PRNGKey(9), *args, cfg_c)
+    res_w = run_rbps_information_form(jax.random.PRNGKey(9), *args, cfg_w)
+    r_c = float(
+        aligned_position_rmse(jnp.asarray(data.pos), res_c.XNK[-1, :, :2])
+    )
+    r_w = float(
+        aligned_position_rmse(jnp.asarray(data.pos), res_w.XNK[-1, :, :2])
+    )
+    assert np.isfinite(r_w), r_w
+    assert abs(r_c - r_w) < 0.5, (r_c, r_w)
+    # sweep 1 is a plain RBPF in both forms: identical keys => identical
+    # sampled trajectory
+    np.testing.assert_allclose(
+        np.asarray(res_c.XNK[0]), np.asarray(res_w.XNK[0]), atol=1e-5
+    )
+
+
 def test_rbps_info_matches_naive_statistically():
     """Both smoothers on the same workload produce sampled trajectories
     with comparable RMSE (they implement the same sampler)."""
