@@ -80,16 +80,29 @@ def run_pf_localization(
         k, y_t, u, Q_t, dt_t = inputs
         k_res, k_dyn = jax.random.split(k)
         ess_prev = ess_from_logw(logw_n)
-        do_resample = ess_prev <= config.ess_threshold * n_p
-        ai_res = resample_indices(
-            k_res, jnp.exp(logw_n), n_p, config.resampling
-        )
-        ident = jnp.arange(n_p, dtype=ai_res.dtype)
-        ai = jnp.where(do_resample, ai_res, ident)
-        # after resampling the accumulated weights reset to uniform
-        logw_prev = jnp.where(
-            do_resample, jnp.full_like(logw_n, -jnp.log(n_p)), logw_n
-        )
+        ident = jnp.arange(n_p, dtype=jnp.int32)
+        if config.ess_threshold >= 1.0:
+            ai = resample_indices(
+                k_res, jnp.exp(logw_n), n_p, config.resampling
+            )
+            logw_prev = jnp.full_like(logw_n, -jnp.log(n_p))
+        else:
+            do_resample = ess_prev <= config.ess_threshold * n_p
+            # lax.cond executes a single branch: the cumsum+searchsorted
+            # (the dominant per-step cost at large N) runs only on
+            # resampling steps
+            ai = jax.lax.cond(
+                do_resample,
+                lambda lw: resample_indices(
+                    k_res, jnp.exp(lw), n_p, config.resampling
+                ),
+                lambda lw: ident,
+                logw_n,
+            )
+            # after resampling the accumulated weights reset to uniform
+            logw_prev = jnp.where(
+                do_resample, jnp.full_like(logw_n, -jnp.log(n_p)), logw_n
+            )
         xn_anc = jnp.take(xn, ai, axis=0)
         dyn_keys = jax.random.split(k_dyn, n_p)
         xn_new = jax.vmap(

@@ -245,9 +245,17 @@ def run_rbpf(
         else:
             ess_prev = ess_from_logw(logw_n)
             do_res = ess_prev <= config.ess_threshold * n_p
-            ai_res = resample_indices(k_res, w, n_p, config.resampling)
-            ident = jnp.arange(n_p, dtype=ai_res.dtype)
-            ai = jnp.where(do_res, ai_res, ident)
+            ident = jnp.arange(n_p, dtype=jnp.int32)
+            # single-branch cond: skip the cumsum+searchsorted on
+            # non-resampling steps
+            ai = jax.lax.cond(
+                do_res,
+                lambda ww: resample_indices(
+                    k_res, ww, n_p, config.resampling
+                ),
+                lambda ww: ident,
+                w,
+            )
             logw_prev = jnp.where(
                 do_res, jnp.full_like(logw_n, -jnp.log(n_p)), logw_n
             )

@@ -231,11 +231,18 @@ def _chol_scalars(S, ny: int, jitter: float):
 
     ok = pivots(s11, s21, s22, s31, s32, s33)
     bad = ~ok
-    s11 = jnp.where(ok, s11, s11 + jitter)
+    # scale-aware retry jitter (see ops/kalman._chol_small_batched)
+    diag_mean = s11
+    if ny == 2:
+        diag_mean = 0.5 * (s11 + s22)
+    if ny == 3:
+        diag_mean = (s11 + s22 + s33) / 3.0
+    jit_eff = jitter * jnp.maximum(1.0, diag_mean)
+    s11 = jnp.where(ok, s11, s11 + jit_eff)
     if ny >= 2:
-        s22 = jnp.where(ok, s22, s22 + jitter)
+        s22 = jnp.where(ok, s22, s22 + jit_eff)
     if ny >= 3:
-        s33 = jnp.where(ok, s33, s33 + jitter)
+        s33 = jnp.where(ok, s33, s33 + jit_eff)
 
     l11 = jnp.sqrt(s11)
     l21 = l22 = l31 = l32 = l33 = None

@@ -133,7 +133,17 @@ def _chol_small_batched(S, jitter: float):
     for p in pivots(S):
         bad = bad | (p <= 0)
     eye = jnp.eye(ny, dtype=S.dtype)
-    S = jnp.where(bad[:, None, None], S + jitter * eye, S)
+    # scale-aware retry: an absolute jitter (the reference's 1e-3,
+    # src/particleFilter.m:145-148) is below one ulp when S's scale is
+    # large under reduced precision (bf16 eps ~ 8e-3 relative) — scale
+    # by the mean diagonal so the retry actually restores PD
+    diag_scale = jnp.maximum(
+        1.0,
+        jnp.mean(jnp.diagonal(S, axis1=-2, axis2=-1), axis=-1),
+    )
+    S = jnp.where(
+        bad[:, None, None], S + (jitter * diag_scale)[:, None, None] * eye, S
+    )
 
     L = jnp.zeros_like(S)
     l11 = jnp.sqrt(S[:, 0, 0])

@@ -26,8 +26,12 @@ def _inverse_cdf(w, u):
     cdf = jnp.cumsum(w)
     # guard rounding: force the final CDF entry to cover 1.0
     cdf = cdf / cdf[-1]
+    # binary-search lowering ('scan') costs log2(n) strided gathers per
+    # query; at large n the sort-based lowering is much faster on TPU
+    method = "sort" if u.ndim and u.shape[0] >= 16384 else "scan"
     return jnp.clip(
-        jnp.searchsorted(cdf, u, side="right"), 0, w.shape[0] - 1
+        jnp.searchsorted(cdf, u, side="right", method=method),
+        0, w.shape[0] - 1,
     ).astype(jnp.int32)
 
 
