@@ -29,6 +29,9 @@ class EKFResult(NamedTuple):
     chol_retries: jnp.ndarray
 
 
+_JIT_CACHE: dict = {}
+
+
 def run_ekf_dense(
     potential: ScalarPotentialBasis,
     dx,
@@ -38,6 +41,29 @@ def run_ekf_dense(
     P0,          # [n, n]
     Q,           # process noise [6, 6] or [T-1, 6, 6]
     R,           # [3, 3]
+    dt,
+    jitter: float = 1e-3,
+):
+    # jit the whole filter (memoized per basis instance) so the scan
+    # compiles once and hits the persistent compilation cache — an
+    # un-jitted lax.scan recompiles per call and bypasses the disk cache
+    ck = (id(potential), float(jitter))
+    if ck not in _JIT_CACHE:
+        _JIT_CACHE[ck] = jax.jit(
+            lambda *a: _run_ekf_dense(potential, *a, jitter=jitter)
+        )
+    return _JIT_CACHE[ck](dx, y, x0, q0, P0, Q, R, dt)
+
+
+def _run_ekf_dense(
+    potential: ScalarPotentialBasis,
+    dx,
+    y,
+    x0,
+    q0,
+    P0,
+    Q,
+    R,
     dt,
     jitter: float = 1e-3,
 ):
