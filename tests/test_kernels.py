@@ -41,3 +41,25 @@ def test_phi_kernel_2d():
         np.asarray(basis.phi(x)),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_chol_small_scale_aware_jitter():
+    """A non-PD innovation at magnetic-field scale (diag ~1e3) must be
+    repaired by the retry even though 1e-3 absolute jitter is below one
+    bf16 ulp there (the retry scales by the mean diagonal)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rbslam_tpu.ops.kalman import _chol_small_batched
+
+    # rank-1 (singular) S at scale 1e3, slightly indefinite in bf16
+    v = jnp.asarray([30.0, 20.0, 10.0])
+    S = jnp.tile((jnp.outer(v, v)), (4, 1, 1))
+    S = S - 1e-2 * jnp.eye(3)          # indefinite
+    S16 = S.astype(jnp.bfloat16).astype(jnp.float32)
+    L, bad = _chol_small_batched(S16, 1e-3)
+    assert bool(jnp.all(bad))
+    assert bool(jnp.all(jnp.isfinite(L))), np.asarray(L)
+    # the repaired factor reproduces S up to the added jitter scale
+    rec = L @ jnp.swapaxes(L, -1, -2)
+    assert bool(jnp.all(jnp.isfinite(rec)))
