@@ -74,6 +74,14 @@ class RBPSConfig(NamedTuple):
     # in the hot loop; XLA's batched cholesky/triangular_solve lower
     # poorly on TPU, measured 16 ms/step at N=100, nl=515)
     ancestor_form: str = "cholesky"
+    # precompute the suffix information pairs for ALL t as one reverse
+    # (associative) cumulative sum per sweep — the sequence-parallel
+    # analog for this model class (SURVEY §5) and numerically cleaner
+    # than the reference's accumulate-then-downdate (:194-201), which
+    # cancels catastrophically for late t at f32. Costs [T, nl, nl]
+    # memory on the cholesky form; set False to carry+downdate instead
+    # (long-T, large-nl configs).
+    suffix_precompute: bool = True
 
 
 class RBPSResult(NamedTuple):

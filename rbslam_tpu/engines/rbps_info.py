@@ -236,11 +236,27 @@ def _info_sweep(
         Imat0 = Imat0.astype(cd)
     half_logdet_R = 0.5 * jnp.linalg.slogdet(R)[1]
 
+    precomp = config.suffix_precompute and not is_first
     if not is_first:
         C_ref = _jacobian_batch(model, xnk)      # [T, ny, n_lin]
         # whole-trajectory suffix pair (:132-146)
-        ivec_add0 = jnp.einsum("tik,ij,tj->k", C_ref, Rinv, y)
+        terms_iv = jnp.einsum("tik,ij,tj->tk", C_ref, Rinv, y)
+        ivec_add0 = jnp.sum(terms_iv, axis=0)
         Imat_add0 = jnp.einsum("tki,kl,tlj->ij", C_ref, Rinv, C_ref)
+        if precomp:
+            # suffix sums for every t at once — one reverse cumulative
+            # (associative) scan per sweep instead of T sequential
+            # downdates; ivec_adds[t] = sum_{j>=t} C_j'R^-1 y_j
+            ivec_adds = jnp.flip(
+                jnp.cumsum(jnp.flip(terms_iv, 0), axis=0), 0
+            )
+            if config.ancestor_form != "woodbury":
+                terms_im = jnp.einsum(
+                    "tki,kl,tlj->tij", C_ref, Rinv, C_ref
+                )
+                Imat_adds = jnp.flip(
+                    jnp.cumsum(jnp.flip(terms_im, 0), axis=0), 0
+                )
     else:
         C_ref = jnp.zeros((T, ny, model.n_lin), dtype=y.dtype)
         ivec_add0 = jnp.zeros((model.n_lin,), dtype=y.dtype)
@@ -295,7 +311,10 @@ def _info_sweep(
     def step(carry, inputs):
         (xn, xl, P, ivec, Imat, hldp, hldM, logw_n, ivec_add, Imat_add,
          retries) = carry
-        k, y_t, u, Q_t, dt_t, t_idx = inputs
+        if precomp:
+            k, y_t, u, Q_t, dt_t, t_idx, sfx_iv_t, sfx_im_t = inputs
+        else:
+            k, y_t, u, Q_t, dt_t, t_idx = inputs
         k_res, k_dyn, k_anc = jax.random.split(k, 3)
 
         w = jnp.exp(logw_n)
@@ -305,11 +324,16 @@ def _info_sweep(
             anc_last = ai[n_p - 1]
             retries_anc = jnp.zeros((), retries.dtype)
         else:
-            # downdate the suffix pair by the (t-1) term (:194-201)
-            C_prev = C_ref[t_idx - 1]
-            CtRinv_prev = C_prev.T @ Rinv
-            ivec_add = ivec_add - CtRinv_prev @ y[t_idx - 1]
-            Imat_add = Imat_add - CtRinv_prev @ C_prev
+            if precomp:
+                ivec_add = sfx_iv_t
+                if not use_wood:
+                    Imat_add = sfx_im_t
+            else:
+                # downdate the suffix pair by the (t-1) term (:194-201)
+                C_prev = C_ref[t_idx - 1]
+                CtRinv_prev = C_prev.T @ Rinv
+                ivec_add = ivec_add - CtRinv_prev @ y[t_idx - 1]
+                Imat_add = Imat_add - CtRinv_prev @ C_prev
 
             logw_dyn = _dyn_log_weights(model, xnk[t_idx], xn, u, dt_t, Q_t)
             if use_wood:
@@ -375,6 +399,13 @@ def _info_sweep(
     Qb, dtb = _broadcast_time(Q, dt, T)
     keys = jax.random.split(key, T - 1)
     inputs = (keys, y[1:], dx, Qb, dtb, jnp.arange(1, T))
+    if precomp:
+        sfx_im = (
+            jnp.zeros((T - 1, 0, 0), y.dtype)
+            if use_wood
+            else Imat_adds[1:]
+        )
+        inputs = inputs + (ivec_adds[1:], sfx_im)
     xn0c, xl1, P1, ivec1, Imat1, hldp1, logw1n = _constrain(
         xn0, xl1, P1, ivec1, Imat1, hldp1, logw1n
     )
