@@ -305,6 +305,7 @@ def main():
                     + (",fused" if args.fused else "")
                     + (",pallas-basis" if args.pallas_basis else "")
                     + (",bf16-cov" if args.cov_dtype == "bfloat16" else "")
+                    + ("" if args.symmetrize else ",no-sym")
                     + (f",ess={args.ess}" if args.ess < 1.0 else "")
                     + "]"
                 ),

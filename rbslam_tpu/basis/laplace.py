@@ -90,8 +90,31 @@ class LaplaceBasis:
         return scale * fac * jnp.prod(trig, axis=-1)
 
     def grad_phi(self, x):
-        """All first derivatives stacked: [..., d, m]."""
-        return jnp.stack([self.dphi(x, i) for i in range(self.d)], axis=-2)
+        """All first derivatives stacked: [..., d, m].
+
+        Closed-form fused evaluation: ONE sin and ONE cos pass over the
+        [..., m, d] phase array, then per-dimension products with the cos
+        plane swapped in — ~3x fewer transcendentals and no scatter vs
+        evaluating :meth:`dphi` per dimension (the hot op of the RBPF
+        measurement Jacobian, SURVEY §3.1 basis-eval cost).
+        """
+        dtype = x.dtype
+        a, NN, L = self._args(x, dtype)
+        scale = jnp.prod(1.0 / jnp.sqrt(L))
+        s = jnp.sin(a)                                    # [..., m, d]
+        c = jnp.cos(a)
+        fac = jnp.pi * NN / (2.0 * jnp.asarray(self.L, dtype=dtype))  # [m, d]
+        if self.d == 1:
+            return (scale * fac[:, 0] * c[..., 0])[..., None, :]
+        # prefix/suffix sin products so each dim's product is O(1) muls
+        rows = []
+        for i in range(self.d):
+            prod = c[..., i]
+            for j in range(self.d):
+                if j != i:
+                    prod = prod * s[..., j]
+            rows.append(scale * fac[:, i] * prod)
+        return jnp.stack(rows, axis=-2)
 
     def hess_phi(self, x):
         """Second derivatives d^2 phi / (dx_i dx_j): [..., d, d, m].

@@ -12,10 +12,12 @@ into q_nb (:95-96).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..basis.potential import ScalarPotentialBasis
 from ..math.linalg import psd_cholesky, solve_psd, symmetrize
@@ -29,7 +31,21 @@ class EKFResult(NamedTuple):
     chol_retries: jnp.ndarray
 
 
-_JIT_CACHE: dict = {}
+# Bounded LRU keyed on the basis's defining parameters (not object
+# identity): Monte-Carlo loops that rebuild an identical basis per run
+# hit the same entry, and eviction releases the pinned jitted closure +
+# executable instead of leaking them for the process lifetime.
+_JIT_CACHE: "OrderedDict" = OrderedDict()
+_JIT_CACHE_MAX = 8
+
+
+def _basis_cache_key(potential: ScalarPotentialBasis) -> tuple:
+    b = potential.basis
+    return (
+        int(b.m),
+        np.asarray(b.L).tobytes(),
+        np.asarray(b.NN).tobytes(),
+    )
 
 
 def run_ekf_dense(
@@ -44,14 +60,18 @@ def run_ekf_dense(
     dt,
     jitter: float = 1e-3,
 ):
-    # jit the whole filter (memoized per basis instance) so the scan
+    # jit the whole filter (memoized per basis parameters) so the scan
     # compiles once and hits the persistent compilation cache — an
     # un-jitted lax.scan recompiles per call and bypasses the disk cache
-    ck = (id(potential), float(jitter))
+    ck = (_basis_cache_key(potential), float(jitter))
     if ck not in _JIT_CACHE:
         _JIT_CACHE[ck] = jax.jit(
             lambda *a: _run_ekf_dense(potential, *a, jitter=jitter)
         )
+        while len(_JIT_CACHE) > _JIT_CACHE_MAX:
+            _JIT_CACHE.popitem(last=False)
+    else:
+        _JIT_CACHE.move_to_end(ck)
     return _JIT_CACHE[ck](dx, y, x0, q0, P0, Q, R, dt)
 
 

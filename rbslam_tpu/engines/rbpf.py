@@ -51,6 +51,11 @@ class RBPFConfig(NamedTuple):
     # fuse the resampling gather of P with the KF update via the Pallas
     # kernels (kernels/kf_update.py); dense models with ny <= 3 only
     use_fused_kf: bool = False
+    # KF update kernel: "xla" (ops/kalman.py einsum chain), "block"
+    # (Pallas single-HBM-pass blocked update after an XLA gather —
+    # kernels/kf_update.py::kf_update_block; dense ny <= 3 only).
+    # `use_fused_kf=True` overrides with the manual-DMA 1-pass kernel.
+    kf_kernel: str = "xla"
     # resample only when ESS <= ess_threshold * N, accumulating
     # log-weights in between; 1.0 = every step (reference semantics,
     # src/particleFilter.m:104-113)
@@ -193,6 +198,12 @@ def run_rbpf(
         and isinstance(model, DenseModel)
         and model.ny <= 3
     )
+    blocked = (
+        not fused
+        and config.kf_kernel == "block"
+        and isinstance(model, DenseModel)
+        and model.ny <= 3
+    )
     y = jnp.asarray(y)
     if mask is None:
         mask = jnp.isfinite(y).astype(y.dtype)
@@ -208,10 +219,14 @@ def run_rbpf(
     if config.cov_dtype != "float32":
         P0 = P0.astype(jnp.dtype(config.cov_dtype))
     if fused:
-        # Mosaic manual-DMA row slices need lane-tile (128) alignment;
-        # the physical HBM layout lane-pads to 128 anyway, so this costs
-        # no bandwidth beyond the padded layout. Carry the linear state
-        # zero-padded through the scan and slice at the end.
+        # Mosaic manual-DMA row slices need lane-tile (128) alignment.
+        # NOTE cost model: only the last (lane) axis physically pads to a
+        # 128 multiple for free; the second-to-last axis sublane-pads to 8,
+        # so padding nl on BOTH axes of P is real extra HBM traffic when
+        # nl is far from a 128 multiple (e.g. 515 -> 640 is ~+24% on the
+        # sublane axis). Pick nl near a 128 multiple for the fused path.
+        # Carry the linear state zero-padded through the scan and slice
+        # at the end.
         pad = (-n_lin) % 128
         if pad:
             xl0 = jnp.pad(xl0, ((0, 0), (0, pad)))
@@ -286,10 +301,19 @@ def run_rbpf(
                     do_res, lambda p: jnp.take(p, ai, axis=0),
                     lambda p: p, P,
                 )
-            xl_new, P_new, logw, retried = _measurement_update(
-                model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
-                config.jitter, config.joseph, config.symmetrize_cov,
-            )
+            if blocked:
+                from ..kernels.kf_update import kf_update_block
+
+                C = _jacobian_batch(model, xn_new)
+                xl_new, P_new, logw, retried_b = kf_update_block(
+                    C, P_anc, xl_anc, y_t, R, config.jitter
+                )
+                retried = jnp.sum(retried_b)
+            else:
+                xl_new, P_new, logw, retried = _measurement_update(
+                    model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
+                    config.jitter, config.joseph, config.symmetrize_cov,
+                )
         logw = logw_prev + jnp.log(n_p) + logw  # accumulate (no-op at thr=1)
         w_new, logw_nn, logz = logsumexp_normalize(logw)
 

@@ -292,7 +292,7 @@ def _info_sweep(
         D2 = jnp.einsum("pki,kl,plj->pij", C2, Rinv, C2)
         Add1 = Imat_add0 - C_ref[0].T @ Rinv @ C_ref[0]
         M2 = jnp.diag(1.0 / p0_diag)[None] + D2 + Add1[None]
-        L2 = jnp.linalg.cholesky(M2)
+        L2, retried_w1 = psd_cholesky(M2, config.jitter)
         eye_nl = jnp.eye(n_lin, dtype=y.dtype)
         W2 = jax.vmap(
             lambda Li: jax.scipy.linalg.cho_solve((Li, True), eye_nl)
@@ -306,6 +306,7 @@ def _info_sweep(
             Imat1 = Imat1.astype(jnp.dtype(config.cov_dtype))
         hldM1 = jnp.take(hld2, sel, axis=0)
     else:
+        retried_w1 = jnp.zeros((), bool)
         hldM1 = jnp.zeros((n_p,), dtype=y.dtype)
 
     def step(carry, inputs):
@@ -411,7 +412,7 @@ def _info_sweep(
     )
     carry0 = (
         xn0c, xl1, P1, ivec1, Imat1, hldp1, hldM1, logw1n,
-        ivec_add0, Imat_add0, jnp.sum(retried0),
+        ivec_add0, Imat_add0, jnp.sum(retried0) + jnp.sum(retried_w1),
     )
     final, (xn_hist, ancestors, ess_t) = jax.lax.scan(step, carry0, inputs)
     xn_f, xl_f, P_f = final[0], final[1], final[2]

@@ -438,9 +438,11 @@ def fused_gather_kf_update_1pass(ai, C, xl_gathered, P_all, y, R,
     if ny > 3:
         raise ValueError("fused KF kernel supports ny <= 3")
     if nl % 128:
-        # manual DMA row slices must be lane-tile (128) aligned — and the
-        # physical HBM layout lane-pads to 128 regardless, so a 128-
-        # multiple nl costs no extra bandwidth over the padded layout
+        # manual DMA row slices must be lane-tile (128) aligned. The lane
+        # (last) axis pads to 128 for free in the physical layout, but the
+        # sublane (second-to-last) axis only pads to 8 — so rounding nl up
+        # to a 128 multiple DOES add real HBM traffic on that axis when nl
+        # is far from one (e.g. 515 -> 640 is ~+24%); choose nl accordingly
         raise ValueError(f"nl={nl} must be a multiple of 128 (pad upstream)")
     # VMEM budget: two double-buffer slots + pipelined out blocks
     bytes_per_row = nl * nl * P_all.dtype.itemsize
@@ -570,6 +572,223 @@ def fused_gather_kf_update_2pass(ai, C, xl_gathered, P_all, y, R,
     xl_new = xl_gathered + jnp.einsum("pij,pj->pi", M, e)
     P_new = _gather_downdate_call(ai, M, U, P_all, interpret)
     return xl_new, P_new, logw, retried
+
+
+def _chol_vec(S, ny: int, jitter: float, R_ref):
+    """Closed-form lower Cholesky of tiny SPD matrices, vectorized over a
+    particle block: entries of S arrive as a dict {(m, mp): [B, 1]} of
+    sublane vectors, so every op below is a VPU vector op over the whole
+    block (the round-1 scalar-core formulation serialized per particle).
+    Returns (l entries dict, bad [B, 1] bool)."""
+    s = dict(S)
+    ok = s[(0, 0)] > 0
+    safe = lambda x: jnp.where(x > 0, x, 1.0)
+    if ny >= 2:
+        l11p = jnp.sqrt(jnp.abs(s[(0, 0)]))
+        l21p = s[(1, 0)] / safe(l11p)
+        p2 = s[(1, 1)] - l21p * l21p
+        ok = ok & (p2 > 0)
+    if ny >= 3:
+        l31p = s[(2, 0)] / safe(l11p)
+        l22p = jnp.sqrt(jnp.abs(p2))
+        l32p = (s[(2, 1)] - l31p * l21p) / safe(l22p)
+        p3 = s[(2, 2)] - l31p * l31p - l32p * l32p
+        ok = ok & (p3 > 0)
+    bad = ~ok
+    # scale-aware retry jitter (see ops/kalman._chol_small_batched)
+    diag_mean = s[(0, 0)]
+    if ny == 2:
+        diag_mean = 0.5 * (s[(0, 0)] + s[(1, 1)])
+    if ny == 3:
+        diag_mean = (s[(0, 0)] + s[(1, 1)] + s[(2, 2)]) / 3.0
+    jit_eff = jitter * jnp.maximum(1.0, diag_mean)
+    for m in range(ny):
+        s[(m, m)] = jnp.where(ok, s[(m, m)], s[(m, m)] + jit_eff)
+
+    L = {}
+    L[(0, 0)] = jnp.sqrt(s[(0, 0)])
+    if ny >= 2:
+        L[(1, 0)] = s[(1, 0)] / L[(0, 0)]
+        L[(1, 1)] = jnp.sqrt(s[(1, 1)] - L[(1, 0)] ** 2)
+    if ny >= 3:
+        L[(2, 0)] = s[(2, 0)] / L[(0, 0)]
+        L[(2, 1)] = (s[(2, 1)] - L[(2, 0)] * L[(1, 0)]) / L[(1, 1)]
+        L[(2, 2)] = jnp.sqrt(
+            s[(2, 2)] - L[(2, 0)] ** 2 - L[(2, 1)] ** 2
+        )
+    return L, bad
+
+
+def _sinv_vec(L, ny: int):
+    """S^-1 entries from the block-vectorized Cholesky (Sinv = Li' Li)."""
+    i11 = 1.0 / L[(0, 0)]
+    if ny == 1:
+        return {(0, 0): i11 * i11}
+    i22 = 1.0 / L[(1, 1)]
+    i21 = -L[(1, 0)] * i11 * i22
+    if ny == 2:
+        return {
+            (0, 0): i11 * i11 + i21 * i21,
+            (1, 0): i21 * i22,
+            (1, 1): i22 * i22,
+        }
+    i33 = 1.0 / L[(2, 2)]
+    i32 = -L[(2, 1)] * i22 * i33
+    i31 = -(L[(2, 0)] * i11 + L[(2, 1)] * i21) * i33
+    return {
+        (0, 0): i11 * i11 + i21 * i21 + i31 * i31,
+        (1, 0): i21 * i22 + i31 * i32,
+        (1, 1): i22 * i22 + i32 * i32,
+        (2, 0): i31 * i33,
+        (2, 1): i32 * i33,
+        (2, 2): i33 * i33,
+    }
+
+
+def _kernel_block(ny: int, jitter: float,
+                  C_ref, e_ref, xl_ref, R_ref,
+                  P_ref,
+                  P_out_ref, xl_out_ref, logw_ref, bad_ref):
+    """Single-pass blocked KF update over pre-gathered covariances.
+
+    One grid step = `block` particles, streamed through the automatic
+    Pallas input/output pipeline (P block in, P block out — one HBM read
+    + one write of P total, vs read+materialized-f32-downdate+write on
+    the XLA path). All small-ny algebra is vectorized ACROSS the block:
+    the only Python loops are over ny (<= 3), so the VPU sees wide
+    [B, nl] / [B, nl, nl] ops and the scalar core does nothing.
+    """
+    P = P_ref[...].astype(jnp.float32)             # [B, nl, nl]
+
+    # CP[m] = C[m] P per particle: one broadcast-multiply + sublane-axis
+    # reduction per output row (the N*nl*nl MACs of the step)
+    CP = []
+    for m in range(ny):
+        Cm = C_ref[m]                              # [B, nl]
+        CP.append(jnp.sum(P * Cm[:, :, None], axis=1))  # [B, nl]
+
+    # innovation covariance entries as [B, 1] sublane vectors
+    S = {}
+    for m in range(ny):
+        for mp in range(m + 1):
+            S[(m, mp)] = (
+                jnp.sum(CP[mp] * C_ref[m], axis=-1, keepdims=True)
+                + R_ref[m, mp]
+            )
+    L, bad = _chol_vec(S, ny, jitter, R_ref)
+
+    # whitened residual + log-weight
+    e = [e_ref[:, m:m + 1] for m in range(ny)]     # each [B, 1]
+    v = [e[0] / L[(0, 0)]]
+    if ny >= 2:
+        v.append((e[1] - L[(1, 0)] * v[0]) / L[(1, 1)])
+    if ny >= 3:
+        v.append(
+            (e[2] - L[(2, 0)] * v[0] - L[(2, 1)] * v[1]) / L[(2, 2)]
+        )
+    vv = sum(x * x for x in v)
+    logdiag = sum(jnp.log(L[(m, m)]) for m in range(ny))
+    logw_ref[...] = -logdiag - 0.5 * vv - 0.5 * ny * _LOG2PI
+    bad_ref[...] = bad.astype(jnp.int32)
+
+    # gain columns K[:, m] = sum_mp Sinv[m, mp] CP[mp]  (P^T ~ P, matching
+    # ops/kalman's einsum("pji,pjk->pik", CP, Sinv) exactly)
+    Sinv = _sinv_vec(L, ny)
+    sinv = lambda m, mp: Sinv[(m, mp)] if m >= mp else Sinv[(mp, m)]
+    K = [
+        sum(sinv(m, mp) * CP[mp] for mp in range(ny))  # [B, nl]
+        for m in range(ny)
+    ]
+    xl_new = xl_ref[...]
+    for m in range(ny):
+        xl_new = xl_new + K[m] * e[m]
+    xl_out_ref[...] = xl_new
+
+    # covariance downdate: P' = P - sum_m CP[m]^T (outer) K[m]
+    dd = CP[0][:, :, None] * K[0][:, None, :]
+    for m in range(1, ny):
+        dd = dd + CP[m][:, :, None] * K[m][:, None, :]
+    P_out_ref[...] = (P - dd).astype(P_out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ny", "nl", "block", "jitter", "interpret")
+)
+def _block_call(C_t, e, xl, R, P_all, ny, nl, block, jitter, interpret):
+    n = e.shape[0]
+    grid = (n // block,)
+    return pl.pallas_call(
+        functools.partial(_kernel_block, ny, jitter),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ny, block, nl), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, ny), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, nl), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ny, ny), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, nl, nl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, nl, nl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, nl), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, nl, nl), P_all.dtype),
+            jax.ShapeDtypeStruct((n, nl), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(C_t, e, xl, R, P_all)
+
+
+def kf_update_block(C, P_gathered, xl_gathered, y, R,
+                    jitter: float = 1e-3, block: int = 16):
+    """Blocked single-HBM-pass dense KF update (post-gather).
+
+    The resampling gather stays in XLA (`jnp.take` streams P once); this
+    kernel then performs the innovation weighing + Kalman update with
+    exactly one further read and one write of the covariance tensor —
+    the XLA path instead materializes the [N, nl, nl] f32 downdate
+    (src/particleFilter.m:163-204 semantics; ops/kalman.py math). ny <= 3.
+
+    C [N, ny, nl] Jacobians at the propagated particles;
+    P_gathered [N, nl, nl] (f32 or bf16 storage); xl_gathered [N, nl];
+    y [ny]; R [ny, ny]. Returns (xl', P', logw, retried) — identical
+    contract (and algebra, up to fp ordering) to
+    ops.kalman.kalman_update_dense_batched with symmetrize_out=False.
+    """
+    n, ny, nl = C.shape
+    if ny > 3:
+        raise ValueError("blocked KF kernel supports ny <= 3")
+    while block > 1 and n % block:
+        block //= 2
+    # VMEM budget: in/out P blocks (double-buffered) + f32 temporaries
+    bytes_blk = block * nl * nl
+    while block > 1 and bytes_blk * (2 * P_gathered.dtype.itemsize + 12) \
+            > 12 * 1024 * 1024:
+        block //= 2
+        bytes_blk //= 2
+    interpret = jax.default_backend() != "tpu"
+    C = C.astype(jnp.float32)
+    e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl_gathered)
+    C_t = jnp.transpose(C, (1, 0, 2))              # [ny, N, nl]
+    P_new, xl_new, logw, bad = _block_call(
+        C_t, e.astype(jnp.float32), xl_gathered.astype(jnp.float32),
+        jnp.asarray(R, jnp.float32), P_gathered,
+        ny, nl, block, jitter, interpret,
+    )
+    return xl_new, P_new, logw[:, 0], bad[:, 0].astype(bool)
 
 
 def fused_gather_kf_update(ai, C, xl_gathered, P_all, y, R,

@@ -21,7 +21,7 @@ enable_compilation_cache()
 from bench import _build_problem
 
 N = 16384
-M = 128
+M = 125
 COV = jnp.bfloat16
 
 data, model, potential, k, Q, R = _build_problem(M, N, 192)
@@ -77,12 +77,12 @@ C = timeit("meas jacobian (basis eval)",
            lambda x: jax.vmap(model.meas_jacobian)(x), xn_new)
 
 upd = timeit("KF update (closed form)",
-             lambda c, p, x, yy: kalman_update_dense_batched(c, p, x, yy, R, 1e-3, False),
+             lambda c, p, x, yy: kalman_update_dense_batched(c, p, x, yy, R, 1e-3, False, False),
              C, P_anc, gathered[1], y_t)
 
 def full(p, a, c, x, yy):
     pa = jnp.take(p, a, axis=0)
-    return kalman_update_dense_batched(c, pa, x, yy, R, 1e-3, False)
+    return kalman_update_dense_batched(c, pa, x, yy, R, 1e-3, False, False)
 
 timeit("gather P + KF update", full, P, ai, C, gathered[1], y_t)
 

@@ -96,3 +96,16 @@ def test_se_spectral_density_shape_and_monotone():
     np.testing.assert_allclose(
         float(S[0]), 2.0 * (2 * np.pi) ** 1 * 0.25, rtol=1e-5
     )
+
+
+def test_grad_phi_matches_dphi_stack():
+    """Fused closed-form grad_phi == per-dimension dphi (all d = 1..3)."""
+    for d, L in [(1, np.array([1.5])), (2, np.array([2.0, 1.0])),
+                 (3, np.array([2.0, 1.0, 1.5]))]:
+        basis = hypercube_basis(16, L)
+        key = jax.random.PRNGKey(d)
+        x = jax.random.uniform(key, (7, d), minval=-0.9, maxval=0.9)
+        ref = jnp.stack([basis.dphi(x, i) for i in range(d)], axis=-2)
+        np.testing.assert_allclose(
+            basis.grad_phi(x), ref, atol=1e-5, rtol=1e-5
+        )

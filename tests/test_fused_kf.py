@@ -114,3 +114,57 @@ def test_rbpf_with_fused_kf_equivalent():
     np.testing.assert_allclose(
         np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-3
     )
+
+
+@pytest.mark.parametrize("ny", [1, 2, 3])
+def test_block_kernel_matches_reference(ny):
+    from rbslam_tpu.kernels.kf_update import kf_update_block
+
+    ai, C, P, xl, y, R = _problem(ny=ny)
+    Pg = jnp.take(P, ai, axis=0)
+    xlg = jnp.take(xl, ai, axis=0)
+    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
+    out = kf_update_block(C, Pg, xlg, y, R)
+    np.testing.assert_allclose(out[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(out[1], ref[1], atol=1e-5)
+    np.testing.assert_allclose(out[2], ref[2], atol=1e-5)
+
+
+def test_block_kernel_bf16_storage():
+    from rbslam_tpu.kernels.kf_update import kf_update_block
+
+    ai, C, P, xl, y, R = _problem(nl=32)
+    P = P.astype(jnp.bfloat16)
+    Pg = jnp.take(P, ai, axis=0)
+    xlg = jnp.take(xl, ai, axis=0)
+    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
+    out = kf_update_block(C, Pg, xlg, y, R)
+    assert out[1].dtype == jnp.bfloat16
+    np.testing.assert_allclose(out[0], ref[0], atol=5e-2)
+    np.testing.assert_allclose(
+        out[1].astype(jnp.float32), ref[1].astype(jnp.float32), atol=5e-2
+    )
+    np.testing.assert_allclose(out[2], ref[2], atol=5e-1)
+
+
+def test_rbpf_block_kernel_equivalent():
+    """Full filter run: kf_kernel='block' == XLA path on the radio workload."""
+    data, model, basis, center, k, Q = _radio_setup()
+    base = dict(n_particles=16, resampling="systematic",
+                symmetrize_cov=False)
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    res_a = run_rbpf(jax.random.PRNGKey(0), *args, RBPFConfig(**base))
+    res_b = run_rbpf(
+        jax.random.PRNGKey(0), *args,
+        RBPFConfig(**base, kf_kernel="block"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.traj_mean), np.asarray(res_b.traj_mean), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-3
+    )
