@@ -57,7 +57,7 @@ def _build_problem(m_basis, n_particles, n_steps, seed=1,
 
 def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
                fused=False, pallas_basis=False, cov_dtype="float32",
-               symmetrize=False, ess_threshold=1.0):
+               symmetrize=False, ess_threshold=1.0, kf_kernel="xla"):
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +68,8 @@ def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
     )
     cfg = RBPFConfig(n_particles=n_particles, resampling="systematic",
                      use_fused_kf=fused, cov_dtype=cov_dtype,
-                     symmetrize_cov=symmetrize, ess_threshold=ess_threshold)
+                     symmetrize_cov=symmetrize, ess_threshold=ess_threshold,
+                     kf_kernel=kf_kernel)
     args = (
         model, data.dx, data.y, data.init_state,
         jnp.zeros(potential.n_lin), jnp.diag(k), Q, R, 0.01, cfg,
@@ -246,6 +247,10 @@ def main():
                     help="ESS resampling threshold (1.0 = every step, "
                          "the reference semantics; <1 skips the P gather "
                          "on non-resampling steps)")
+    ap.add_argument("--kf-kernel", default="xla",
+                    choices=["xla", "block"],
+                    help="KF measurement-update kernel: xla einsum chain "
+                         "or the blocked single-HBM-pass Pallas kernel")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace of the timed "
                          "region to LOGDIR (view with XProf)")
@@ -288,7 +293,7 @@ def main():
             m_basis, n_particles, n_steps,
             fused=args.fused, pallas_basis=args.pallas_basis,
             cov_dtype=args.cov_dtype, symmetrize=args.symmetrize,
-            ess_threshold=args.ess,
+            ess_threshold=args.ess, kf_kernel=args.kf_kernel,
         )
 
     # baseline cost measured at small particle count, cost/particle-step
@@ -303,6 +308,7 @@ def main():
                     f"rbpf_dense_mag_particle_steps_per_s"
                     f"[N_P={n_particles},m={m_basis}+3,T={T}"
                     + (",fused" if args.fused else "")
+                    + (",block-kf" if args.kf_kernel == "block" else "")
                     + (",pallas-basis" if args.pallas_basis else "")
                     + (",bf16-cov" if args.cov_dtype == "bfloat16" else "")
                     + ("" if args.symmetrize else ",no-sym")

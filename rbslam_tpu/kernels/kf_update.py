@@ -654,25 +654,28 @@ def _kernel_block(ny: int, jitter: float,
     One grid step = `block` particles, streamed through the automatic
     Pallas input/output pipeline (P block in, P block out — one HBM read
     + one write of P total, vs read+materialized-f32-downdate+write on
-    the XLA path). All small-ny algebra is vectorized ACROSS the block:
-    the only Python loops are over ny (<= 3), so the VPU sees wide
-    [B, nl] / [B, nl, nl] ops and the scalar core does nothing.
+    the XLA path). The two O(nl^2)-per-particle products (CP = C P and
+    the rank-ny downdate) run as batch-dimension `dot_general`s on the
+    MXU — measured at the P copy-bandwidth floor at nl=128 — and the
+    small-ny algebra between them is vectorized ACROSS the block on the
+    VPU (Python loops only over ny <= 3).
     """
     P = P_ref[...].astype(jnp.float32)             # [B, nl, nl]
+    C = C_ref[...]                                 # [B, ny, nl]
 
-    # CP[m] = C[m] P per particle: one broadcast-multiply + sublane-axis
-    # reduction per output row (the N*nl*nl MACs of the step)
-    CP = []
-    for m in range(ny):
-        Cm = C_ref[m]                              # [B, nl]
-        CP.append(jnp.sum(P * Cm[:, :, None], axis=1))  # [B, nl]
+    # CP[b] = C[b] @ P[b] — batched MXU matmul (the N*nl*nl MACs)
+    CP3 = jax.lax.dot_general(
+        C, P, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [B, ny, nl]
+    CP = [CP3[:, m, :] for m in range(ny)]         # each [B, nl]
 
     # innovation covariance entries as [B, 1] sublane vectors
     S = {}
     for m in range(ny):
         for mp in range(m + 1):
             S[(m, mp)] = (
-                jnp.sum(CP[mp] * C_ref[m], axis=-1, keepdims=True)
+                jnp.sum(CP[mp] * C[:, m, :], axis=-1, keepdims=True)
                 + R_ref[m, mp]
             )
     L, bad = _chol_vec(S, ny, jitter, R_ref)
@@ -704,24 +707,27 @@ def _kernel_block(ny: int, jitter: float,
         xl_new = xl_new + K[m] * e[m]
     xl_out_ref[...] = xl_new
 
-    # covariance downdate: P' = P - sum_m CP[m]^T (outer) K[m]
-    dd = CP[0][:, :, None] * K[0][:, None, :]
-    for m in range(1, ny):
-        dd = dd + CP[m][:, :, None] * K[m][:, None, :]
+    # covariance downdate P'[b] = P[b] - CP[b]' K[b] — second batched
+    # MXU matmul (contract the ny axis)
+    K3 = jnp.concatenate([k[:, None, :] for k in K], axis=1)  # [B, ny, nl]
+    dd = jax.lax.dot_general(
+        CP3, K3, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [B, nl, nl]
     P_out_ref[...] = (P - dd).astype(P_out_ref.dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("ny", "nl", "block", "jitter", "interpret")
 )
-def _block_call(C_t, e, xl, R, P_all, ny, nl, block, jitter, interpret):
+def _block_call(C, e, xl, R, P_all, ny, nl, block, jitter, interpret):
     n = e.shape[0]
     grid = (n // block,)
     return pl.pallas_call(
         functools.partial(_kernel_block, ny, jitter),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ny, block, nl), lambda i: (0, i, 0),
+            pl.BlockSpec((block, ny, nl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, ny), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -749,11 +755,11 @@ def _block_call(C_t, e, xl, R, P_all, ny, nl, block, jitter, interpret):
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(C_t, e, xl, R, P_all)
+    )(C, e, xl, R, P_all)
 
 
 def kf_update_block(C, P_gathered, xl_gathered, y, R,
-                    jitter: float = 1e-3, block: int = 16):
+                    jitter: float = 1e-3, block: int = 32):
     """Blocked single-HBM-pass dense KF update (post-gather).
 
     The resampling gather stays in XLA (`jnp.take` streams P once); this
@@ -782,9 +788,8 @@ def kf_update_block(C, P_gathered, xl_gathered, y, R,
     interpret = jax.default_backend() != "tpu"
     C = C.astype(jnp.float32)
     e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl_gathered)
-    C_t = jnp.transpose(C, (1, 0, 2))              # [ny, N, nl]
     P_new, xl_new, logw, bad = _block_call(
-        C_t, e.astype(jnp.float32), xl_gathered.astype(jnp.float32),
+        C, e.astype(jnp.float32), xl_gathered.astype(jnp.float32),
         jnp.asarray(R, jnp.float32), P_gathered,
         ny, nl, block, jitter, interpret,
     )
