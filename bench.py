@@ -247,10 +247,15 @@ def main():
                     help="ESS resampling threshold (1.0 = every step, "
                          "the reference semantics; <1 skips the P gather "
                          "on non-resampling steps)")
-    ap.add_argument("--kf-kernel", default="xla",
-                    choices=["xla", "block"],
-                    help="KF measurement-update kernel: xla einsum chain "
-                         "or the blocked single-HBM-pass Pallas kernel")
+    ap.add_argument("--kf-kernel", default="block_gather",
+                    choices=["xla", "block", "block_gather"],
+                    help="KF measurement-update kernel: xla einsum chain, "
+                         "blocked single-HBM-pass Pallas kernel, or the "
+                         "gather-fused blocked kernel (default: the "
+                         "resampling gather of P rides lookahead DMAs — "
+                         "one total HBM read+write of the covariance "
+                         "ensemble per step, measured 1.4x the XLA "
+                         "gather+update at the bench config)")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace of the timed "
                          "region to LOGDIR (view with XProf)")
@@ -309,6 +314,8 @@ def main():
                     f"[N_P={n_particles},m={m_basis}+3,T={T}"
                     + (",fused" if args.fused else "")
                     + (",block-kf" if args.kf_kernel == "block" else "")
+                    + (",gather-kf" if args.kf_kernel == "block_gather"
+                       else "")
                     + (",pallas-basis" if args.pallas_basis else "")
                     + (",bf16-cov" if args.cov_dtype == "bfloat16" else "")
                     + ("" if args.symmetrize else ",no-sym")

@@ -75,6 +75,46 @@ def run_ekf_dense(
     return _JIT_CACHE[ck](dx, y, x0, q0, P0, Q, R, dt)
 
 
+def run_ekf_dense_batched(
+    potential: ScalarPotentialBasis,
+    dx,          # [B, T-1, n_u]
+    y,           # [B, T, 3]
+    x0,          # [6 + n_lin] (shared) or [B, 6 + n_lin]
+    q0,          # [4] or [B, 4]
+    P0,          # [n, n] shared initial covariance
+    Q,
+    R,
+    dt,
+    jitter: float = 1e-3,
+):
+    """Batched EKF: one vmapped scan over B Monte-Carlo runs.
+
+    The sequential EKF wastes the chip on [n, n] x [3, n] products (n =
+    6 + n_lin, up to 521); batching the MC repetitions of the reference's
+    disturbance sweep (examples/slam-dense-mag/main.m:37-60) turns every
+    per-step product into a [B, n, n] batched MXU op — the whole nSim=20
+    sweep costs about one sequential run. Returns EKFResult with a
+    leading batch axis on every field.
+    """
+    ck = (_basis_cache_key(potential), float(jitter), "batched",
+          int(dx.shape[0]), x0.ndim, jnp.asarray(q0).ndim)
+    if ck not in _JIT_CACHE:
+        in_axes = (0, 0, 0 if jnp.asarray(x0).ndim == 2 else None,
+                   0 if jnp.asarray(q0).ndim == 2 else None,
+                   None, None, None, None)
+        _JIT_CACHE[ck] = jax.jit(
+            jax.vmap(
+                lambda *a: _run_ekf_dense(potential, *a, jitter=jitter),
+                in_axes=in_axes,
+            )
+        )
+        while len(_JIT_CACHE) > _JIT_CACHE_MAX:
+            _JIT_CACHE.popitem(last=False)
+    else:
+        _JIT_CACHE.move_to_end(ck)
+    return _JIT_CACHE[ck](dx, y, x0, q0, P0, Q, R, dt)
+
+
 def _run_ekf_dense(
     potential: ScalarPotentialBasis,
     dx,

@@ -46,6 +46,7 @@ class PFResult(NamedTuple):
     ess: jnp.ndarray           # [T]
     log_evidence: jnp.ndarray  # scalar
     xn_traj: jnp.ndarray       # [T, N_P, dn] if store_trajectories else [0]
+    xn_hist: jnp.ndarray       # [T, N_P, dn] raw per-step cloud (same flag)
     ancestors: jnp.ndarray     # [T-1, N_P]
 
 
@@ -137,6 +138,7 @@ def run_pf_localization(
         xn_hist_full = jnp.concatenate([xn0[None], xn_hist], axis=0)
         xn_traj = reconstruct_trajectories(xn_hist_full, ancestors)
     else:
+        xn_hist_full = jnp.zeros((0,))
         xn_traj = jnp.zeros((0,))
 
     return PFResult(
@@ -147,5 +149,6 @@ def run_pf_localization(
         ess=ess,
         log_evidence=(logz0 - jnp.log(n_p)) + jnp.sum(logz_t),
         xn_traj=xn_traj,
+        xn_hist=xn_hist_full,
         ancestors=ancestors,
     )

@@ -53,8 +53,12 @@ class RBPFConfig(NamedTuple):
     use_fused_kf: bool = False
     # KF update kernel: "xla" (ops/kalman.py einsum chain), "block"
     # (Pallas single-HBM-pass blocked update after an XLA gather —
-    # kernels/kf_update.py::kf_update_block; dense ny <= 3 only).
-    # `use_fused_kf=True` overrides with the manual-DMA 1-pass kernel.
+    # kernels/kf_update.py::kf_update_block), or "block_gather" (the
+    # blocked update with the resampling gather of P fused in via
+    # lookahead DMAs — one total HBM read + write of the covariance
+    # ensemble per step; kernels/kf_update.py::kf_update_block_gather).
+    # Dense ny <= 3 only. `use_fused_kf=True` overrides with the
+    # per-particle manual-DMA 1-pass kernel (slower; kept for the record).
     kf_kernel: str = "xla"
     # resample only when ESS <= ess_threshold * N, accumulating
     # log-weights in between; 1.0 = every step (reference semantics,
@@ -62,8 +66,12 @@ class RBPFConfig(NamedTuple):
     ess_threshold: float = 1.0
     # storage dtype for the per-particle covariance carry; "bfloat16"
     # halves the dominant HBM traffic (contractions and the fused
-    # kernels still accumulate in f32)
+    # kernels still accumulate in f32). Fenced at n_lin > 256: the
+    # repeated rank-ny downdates accumulate bf16 rounding across T and
+    # destabilize the *filter* weights at reference scale (measured NaN
+    # at n_lin=515, RESULTS.md); set allow_bf16_large_nl to override.
     cov_dtype: str = "float32"
+    allow_bf16_large_nl: bool = False
     # re-symmetrize P after every downdate (an extra HBM pass; the
     # reference filter does not, src/particleFilter.m:198 — fp drift is
     # surfaced by the chol_retries counter)
@@ -79,6 +87,7 @@ class RBPFResult(NamedTuple):
     P_mean: jnp.ndarray            # [n_lin, n_lin] (correct accumulation)
     traj_sample_iwmax: jnp.ndarray  # [T, n_nonlin] ancestral path of final best
     xn_traj: jnp.ndarray           # [T, N_P, n_nonlin] reconstructed trajectories
+    xn_hist: jnp.ndarray           # [T, N_P, n_nonlin] raw per-step cloud
     ancestors: jnp.ndarray         # [T-1, N_P]
     logw: jnp.ndarray              # [N_P] final normalized log-weights
     xn: jnp.ndarray                # [N_P, n_nonlin] final particles
@@ -169,7 +178,7 @@ def _measurement_update(model, xn, xl, P, y_t, R, mask_t, jitter, joseph,
 
 @partial(
     jax.jit,
-    static_argnames=("model", "config"),
+    static_argnames=("model", "config", "mesh"),
 )
 def run_rbpf(
     key,
@@ -184,15 +193,61 @@ def run_rbpf(
     dt,
     config: RBPFConfig,
     mask: Optional[jnp.ndarray] = None,
+    mesh=None,
 ) -> RBPFResult:
     """Run the RBPF.
 
     dx: [T-1, n_u] odometry; y: [T, ny] observations (NaN allowed on the
     sparse path — converted to a mask); mask optionally overrides the
     NaN-derived visibility mask.
+
+    mesh: optional ``jax.sharding.Mesh`` with a ``particles`` axis (and
+    optionally a ``map`` axis for the covariance basis blocks). When
+    given, the FULL filter — ancestors, trajectories, ESS gating,
+    log-evidence — runs GSPMD-partitioned: sharding constraints are
+    carried through the scan so every per-particle tensor stays
+    distributed, resampling indices come from the explicit-collective
+    sharded resampler (parallel/resampling.py), and the crossing-particle
+    state exchange rides XLA's partitioned gather. Results equal the
+    unsharded run (tests/test_sharding.py). The Pallas kernel paths
+    (use_fused_kf / kf_kernel != "xla") are single-device and rejected
+    under a mesh.
     """
     n_p = config.n_particles
     T = y.shape[0]
+    if mesh is not None:
+        if config.use_fused_kf or config.kf_kernel != "xla":
+            raise ValueError(
+                "Pallas KF kernels are single-device; use kf_kernel='xla' "
+                "with mesh"
+            )
+        from ..parallel.mesh import particle_map_sharding, particle_sharding
+        from ..parallel.resampling import sharded_resample_indices
+
+        _shard_map_ax = mesh.shape.get("map", 1) > 1
+        _P_sh = (
+            particle_map_sharding(mesh, 3, 2)
+            if _shard_map_ax
+            else particle_sharding(mesh, 3)
+        )
+        _wsc = jax.lax.with_sharding_constraint
+
+        def constrain(xn, xl, P, logw):
+            return (
+                _wsc(xn, particle_sharding(mesh, 2)),
+                _wsc(xl, particle_sharding(mesh, 2)),
+                _wsc(P, _P_sh),
+                _wsc(logw, particle_sharding(mesh, 1)),
+            )
+
+        def _resample(k, w):
+            return sharded_resample_indices(k, w, mesh, config.resampling)
+    else:
+        def constrain(xn, xl, P, logw):
+            return xn, xl, P, logw
+
+        def _resample(k, w):
+            return resample_indices(k, w, n_p, config.resampling)
     fused = (
         config.use_fused_kf
         and isinstance(model, DenseModel)
@@ -201,6 +256,12 @@ def run_rbpf(
     blocked = (
         not fused
         and config.kf_kernel == "block"
+        and isinstance(model, DenseModel)
+        and model.ny <= 3
+    )
+    block_gather = (
+        not fused
+        and config.kf_kernel == "block_gather"
         and isinstance(model, DenseModel)
         and model.ny <= 3
     )
@@ -217,8 +278,17 @@ def run_rbpf(
     xl0, P0 = _init_linear(x0_lin, P0_lin, n_p)
     n_lin = xl0.shape[-1]
     if config.cov_dtype != "float32":
+        if (config.cov_dtype == "bfloat16" and n_lin > 256
+                and not config.allow_bf16_large_nl):
+            raise ValueError(
+                f"cov_dtype='bfloat16' at n_lin={n_lin} > 256 destabilizes "
+                "the filter (bf16 rounding in the per-step covariance "
+                "downdates accumulates over T and produces NaN weights at "
+                "reference scale — RESULTS.md). Use float32, or set "
+                "allow_bf16_large_nl=True to override deliberately."
+            )
         P0 = P0.astype(jnp.dtype(config.cov_dtype))
-    if fused:
+    if fused or block_gather:
         # Mosaic manual-DMA row slices need lane-tile (128) alignment.
         # NOTE cost model: only the last (lane) axis physically pads to a
         # 128 multiple for free; the second-to-last axis sublane-pads to 8,
@@ -234,7 +304,7 @@ def run_rbpf(
 
     # --- step t = 0: no prediction (src/particleFilter.m:103) ---
     key, k0 = jax.random.split(key)
-    if fused:
+    if fused or block_gather:
         C0 = _pad_cols(_jacobian_batch(model, xn0), P0.shape[-1])
         xl1, P1, logw1, retried0_b = kalman_update_dense_batched(
             C0, P0, xl0, y[0], R, config.jitter, config.joseph
@@ -254,7 +324,7 @@ def run_rbpf(
 
         w = jnp.exp(logw_n)
         if config.ess_threshold >= 1.0:
-            ai = resample_indices(k_res, w, n_p, config.resampling)
+            ai = _resample(k_res, w)
             logw_prev = jnp.full_like(logw_n, -jnp.log(n_p))
             do_res = None
         else:
@@ -265,9 +335,7 @@ def run_rbpf(
             # non-resampling steps
             ai = jax.lax.cond(
                 do_res,
-                lambda ww: resample_indices(
-                    k_res, ww, n_p, config.resampling
-                ),
+                lambda ww: _resample(k_res, ww),
                 lambda ww: ident,
                 w,
             )
@@ -287,6 +355,14 @@ def run_rbpf(
 
             C = _pad_cols(_jacobian_batch(model, xn_new), P.shape[-1])
             xl_new, P_new, logw, retried_b = fused_gather_kf_update_1pass(
+                ai, C, xl_anc, P, y_t, R, config.jitter
+            )
+            retried = jnp.sum(retried_b)
+        elif block_gather:
+            from ..kernels.kf_update import kf_update_block_gather
+
+            C = _pad_cols(_jacobian_batch(model, xn_new), P.shape[-1])
+            xl_new, P_new, logw, retried_b = kf_update_block_gather(
                 ai, C, xl_anc, P, y_t, R, config.jitter
             )
             retried = jnp.sum(retried_b)
@@ -316,6 +392,9 @@ def run_rbpf(
                 )
         logw = logw_prev + jnp.log(n_p) + logw  # accumulate (no-op at thr=1)
         w_new, logw_nn, logz = logsumexp_normalize(logw)
+        xn_new, xl_new, P_new, logw_nn = constrain(
+            xn_new, xl_new, P_new, logw_nn
+        )
 
         iw_max = jnp.argmax(logw_nn)
         outs = (
@@ -331,7 +410,8 @@ def run_rbpf(
 
     step_keys = jax.random.split(key, T - 1)
     inputs = (step_keys, y[1:], mask[1:], dx, Q, dt)
-    carry0 = (xn0, xl1, P1, logw1n, retries0)
+    xn0c, xl1, P1, logw1n = constrain(xn0, xl1, P1, logw1n)
+    carry0 = (xn0c, xl1, P1, logw1n, retries0)
     (xn_f, xl_f, P_f, logw_f, total_retries), outs = jax.lax.scan(
         step, carry0, inputs
     )
@@ -351,7 +431,7 @@ def run_rbpf(
     xn_hist_full = jnp.concatenate([xn0[None], xn_hist], axis=0)  # [T, P, dn]
     xn_traj = reconstruct_trajectories(xn_hist_full, ancestors)
 
-    if fused and xl_f.shape[-1] != n_lin:
+    if (fused or block_gather) and xl_f.shape[-1] != n_lin:
         xl_f = xl_f[..., :n_lin]
         P_f = P_f[..., :n_lin, :n_lin]
     P_f = P_f.astype(jnp.float32)
@@ -372,6 +452,7 @@ def run_rbpf(
         P_mean=P_mean,
         traj_sample_iwmax=xn_traj[:, iw_max],
         xn_traj=xn_traj,
+        xn_hist=xn_hist_full,
         ancestors=ancestors,
         logw=logw_f,
         xn=xn_f,

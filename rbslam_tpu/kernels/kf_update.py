@@ -574,75 +574,147 @@ def fused_gather_kf_update_2pass(ai, C, xl_gathered, P_all, y, R,
     return xl_new, P_new, logw, retried
 
 
-def _chol_vec(S, ny: int, jitter: float, R_ref):
-    """Closed-form lower Cholesky of tiny SPD matrices, vectorized over a
-    particle block: entries of S arrive as a dict {(m, mp): [B, 1]} of
-    sublane vectors, so every op below is a VPU vector op over the whole
-    block (the round-1 scalar-core formulation serialized per particle).
-    Returns (l entries dict, bad [B, 1] bool)."""
-    s = dict(S)
-    ok = s[(0, 0)] > 0
-    safe = lambda x: jnp.where(x > 0, x, 1.0)
-    if ny >= 2:
-        l11p = jnp.sqrt(jnp.abs(s[(0, 0)]))
-        l21p = s[(1, 0)] / safe(l11p)
-        p2 = s[(1, 1)] - l21p * l21p
-        ok = ok & (p2 > 0)
-    if ny >= 3:
-        l31p = s[(2, 0)] / safe(l11p)
-        l22p = jnp.sqrt(jnp.abs(p2))
-        l32p = (s[(2, 1)] - l31p * l21p) / safe(l22p)
-        p3 = s[(2, 2)] - l31p * l31p - l32p * l32p
-        ok = ok & (p3 > 0)
-    bad = ~ok
-    # scale-aware retry jitter (see ops/kalman._chol_small_batched)
-    diag_mean = s[(0, 0)]
-    if ny == 2:
-        diag_mean = 0.5 * (s[(0, 0)] + s[(1, 1)])
-    if ny == 3:
-        diag_mean = (s[(0, 0)] + s[(1, 1)] + s[(2, 2)]) / 3.0
-    jit_eff = jitter * jnp.maximum(1.0, diag_mean)
-    for m in range(ny):
-        s[(m, m)] = jnp.where(ok, s[(m, m)], s[(m, m)] + jit_eff)
-
-    L = {}
-    L[(0, 0)] = jnp.sqrt(s[(0, 0)])
-    if ny >= 2:
-        L[(1, 0)] = s[(1, 0)] / L[(0, 0)]
-        L[(1, 1)] = jnp.sqrt(s[(1, 1)] - L[(1, 0)] ** 2)
-    if ny >= 3:
-        L[(2, 0)] = s[(2, 0)] / L[(0, 0)]
-        L[(2, 1)] = (s[(2, 1)] - L[(2, 0)] * L[(1, 0)]) / L[(1, 1)]
-        L[(2, 2)] = jnp.sqrt(
-            s[(2, 2)] - L[(2, 0)] ** 2 - L[(2, 1)] ** 2
-        )
-    return L, bad
+def _sum_all(M, ny):
+    """sum_ij M[b, i, j] as [B, 1, 1] via two dot_generals against a ones
+    vector — NOT jnp.sum(keepdims): on this toolchain keepdims reductions
+    lower to rank-changing vector reshapes that abort Mosaic's layout
+    inference, and sublane slicing (the other route to scalars) silently
+    combines mismatched vreg offsets. dot_general is the one primitive
+    verified correct here."""
+    u = jnp.ones((ny, 1), dtype=M.dtype)
+    Mu = jax.lax.dot_general(
+        M, u, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # [B, ny, 1]
+    return jax.lax.dot_general(
+        Mu, u, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # [B, 1, 1]
 
 
-def _sinv_vec(L, ny: int):
-    """S^-1 entries from the block-vectorized Cholesky (Sinv = Li' Li)."""
-    i11 = 1.0 / L[(0, 0)]
+def _trace(M, ny):
+    """tr(M) per batch element as [B, 1, 1] (eye-masked _sum_all)."""
+    eye = jax.lax.broadcasted_iota(jnp.int32, (1, ny, ny), 1) == \
+        jax.lax.broadcasted_iota(jnp.int32, (1, ny, ny), 2)
+    return _sum_all(M * eye.astype(M.dtype), ny)
+
+
+def _spd_inv_logdet(S, ny: int, jitter: float):
+    """Batched closed-form inverse + log-det of tiny SPD matrices via
+    Cayley-Hamilton trace identities — matrix ops only, slice-free.
+
+    For symmetric S with real eigenvalues, the characteristic-polynomial
+    coefficients e1 = tr S, e2 = (tr^2 - ||S||_F^2)/2, e3 = det are all
+    positive iff S is PD, which doubles as the jitter trigger (the
+    scale-aware retry of ops/kalman). The jitter is folded in
+    ALGEBRAICALLY — det(S + jI) = e3 + e2 j + e1 j^2 + j^3 and
+    (S + jI)^2 = S^2 + 2jS + j^2 I — so the invariants are computed once
+    and exactly one batched small matmul (S^2, ny == 3 only) runs per
+    call. Returns (Sinv, logdet [B,1,1], bad [B,1,1] bool).
+    """
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (1, ny, ny), 1) ==
+           jax.lax.broadcasted_iota(jnp.int32, (1, ny, ny), 2)
+           ).astype(S.dtype)
+
+    t1 = _trace(S, ny)
     if ny == 1:
-        return {(0, 0): i11 * i11}
-    i22 = 1.0 / L[(1, 1)]
-    i21 = -L[(1, 0)] * i11 * i22
+        bad = S <= 0
+        j = jnp.where(bad, jitter * jnp.maximum(1.0, t1), 0.0)
+        S = S + j
+        return 1.0 / S, jnp.log(S), bad
+
+    t2 = _sum_all(S * S, ny)          # tr(S^2) = ||S||_F^2 (S symmetric)
+    e2 = 0.5 * (t1 * t1 - t2)
     if ny == 2:
-        return {
-            (0, 0): i11 * i11 + i21 * i21,
-            (1, 0): i21 * i22,
-            (1, 1): i22 * i22,
-        }
-    i33 = 1.0 / L[(2, 2)]
-    i32 = -L[(2, 1)] * i22 * i33
-    i31 = -(L[(2, 0)] * i11 + L[(2, 1)] * i21) * i33
-    return {
-        (0, 0): i11 * i11 + i21 * i21 + i31 * i31,
-        (1, 0): i21 * i22 + i31 * i32,
-        (1, 1): i22 * i22 + i32 * i32,
-        (2, 0): i31 * i33,
-        (2, 1): i32 * i33,
-        (2, 2): i33 * i33,
-    }
+        bad = (t1 <= 0) | (e2 <= 0)
+        j = jnp.where(bad, jitter * jnp.maximum(1.0, 0.5 * t1), 0.0)
+        det = e2 + j * t1 + j * j
+        t1 = t1 + 2.0 * j
+        S = S + j * eye
+        return (t1 * eye - S) / det, jnp.log(det), bad
+
+    S2 = jax.lax.dot_general(
+        S, S, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    t3 = _sum_all(S2 * S, ny)         # tr(S^3), S symmetric
+    e3 = (t1 * t1 * t1 - 3.0 * t1 * t2 + 2.0 * t3) / 6.0
+    bad = (t1 <= 0) | (e2 <= 0) | (e3 <= 0)
+    j = jnp.where(bad, jitter * jnp.maximum(1.0, t1 / 3.0), 0.0)
+    det = e3 + e2 * j + t1 * j * j + j * j * j
+    S2 = S2 + 2.0 * j * S + j * j * eye
+    S = S + j * eye
+    t1n = t1 + 3.0 * j
+    t2n = t2 + 2.0 * j * (t1 + j) + j * j    # tr((S + jI)^2)
+    e2n = 0.5 * (t1n * t1n - t2n)
+    Sinv = (S2 - t1n * S + e2n * eye) / det
+    return Sinv, jnp.log(det), bad
+
+
+def _block_update_math(ny, jitter, C, P, e_ref, xl_ref, R_ref,
+                       P_out_ref, xl_out_ref, logw_ref, bad_ref):
+    """Shared blocked KF-update algebra (one particle block).
+
+    The two O(nl^2)-per-particle products (CP = C P and the rank-ny
+    downdate) run as batch-dimension `dot_general`s on the MXU —
+    measured at the P copy-bandwidth floor at nl=128. The small-ny
+    algebra between them is SLICE-FREE by design: Cayley-Hamilton
+    inverse/log-det (_spd_inv_logdet) on the full [B, ny, ny] tensor.
+    Slicing the ny (sublane) axis is forbidden in this kernel — Mosaic
+    gives each sliced [B, 1] vector a distinct sublane offset and (on
+    this toolchain) combines mismatched offsets without relayout,
+    producing silently wrong hardware results that interpret mode does
+    not reproduce. In-kernel RESHAPES are also forbidden (the layout
+    inferer aborts on rank-changing vector reshapes): e arrives [B,1,ny],
+    xl [B,1,nl], and logw/bad leave as [B,1,1].
+    """
+
+    # CP[b] = C[b] @ P[b] — batched MXU matmul (the N*nl*nl MACs)
+    CP3 = jax.lax.dot_general(
+        C, P, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [B, ny, nl]
+
+    # innovation covariance S = C P C' + R — batched [B, ny, ny]
+    S = jax.lax.dot_general(
+        CP3, C, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) + R_ref[...][None, :, :]
+
+    Sinv, logdet, bad = _spd_inv_logdet(S, ny, jitter)
+
+    # whitened quadratic + log-weight: e' S^-1 e via full-tensor products
+    e_row = e_ref[...]                             # [B, 1, ny]
+    eS = jax.lax.dot_general(
+        e_row, Sinv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [B, 1, ny]
+    quad = jax.lax.dot_general(
+        eS, e_row, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [B, 1, 1]
+    logw_ref[...] = -0.5 * quad - 0.5 * logdet - 0.5 * ny * _LOG2PI
+    bad_ref[...] = bad.astype(jnp.int32)
+
+    # gain rows K3 = Sinv CP  (K = (CP)' Sinv, matching ops/kalman's
+    # einsum("pji,pjk->pik", CP, Sinv) with Sinv symmetric)
+    K3 = jax.lax.dot_general(
+        Sinv, CP3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [B, ny, nl]
+    xl_step = jax.lax.dot_general(
+        e_row, K3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [B, 1, nl]
+    xl_out_ref[...] = xl_ref[...] + xl_step
+
+    # covariance downdate P'[b] = P[b] - CP[b]' K3[b] — second batched
+    # MXU matmul (contract the ny axis)
+    dd = jax.lax.dot_general(
+        CP3, K3, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [B, nl, nl]
+    P_out_ref[...] = (P - dd).astype(P_out_ref.dtype)
 
 
 def _kernel_block(ny: int, jitter: float,
@@ -654,67 +726,152 @@ def _kernel_block(ny: int, jitter: float,
     One grid step = `block` particles, streamed through the automatic
     Pallas input/output pipeline (P block in, P block out — one HBM read
     + one write of P total, vs read+materialized-f32-downdate+write on
-    the XLA path). The two O(nl^2)-per-particle products (CP = C P and
-    the rank-ny downdate) run as batch-dimension `dot_general`s on the
-    MXU — measured at the P copy-bandwidth floor at nl=128 — and the
-    small-ny algebra between them is vectorized ACROSS the block on the
-    VPU (Python loops only over ny <= 3).
+    the XLA path).
     """
-    P = P_ref[...].astype(jnp.float32)             # [B, nl, nl]
-    C = C_ref[...]                                 # [B, ny, nl]
+    _block_update_math(
+        ny, jitter, C_ref[...], P_ref[...].astype(jnp.float32),
+        e_ref, xl_ref, R_ref, P_out_ref, xl_out_ref, logw_ref, bad_ref,
+    )
 
-    # CP[b] = C[b] @ P[b] — batched MXU matmul (the N*nl*nl MACs)
-    CP3 = jax.lax.dot_general(
-        C, P, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                              # [B, ny, nl]
-    CP = [CP3[:, m, :] for m in range(ny)]         # each [B, nl]
 
-    # innovation covariance entries as [B, 1] sublane vectors
-    S = {}
-    for m in range(ny):
-        for mp in range(m + 1):
-            S[(m, mp)] = (
-                jnp.sum(CP[mp] * C[:, m, :], axis=-1, keepdims=True)
-                + R_ref[m, mp]
-            )
-    L, bad = _chol_vec(S, ny, jitter, R_ref)
+def _kernel_block_gather(ny: int, block: int, jitter: float,
+                         ai_ref, C_ref, e_ref, xl_ref, R_ref,
+                         P_hbm,
+                         P_out_ref, xl_out_ref, logw_ref, bad_ref,
+                         pbuf, sems):
+    """Gather-fused blocked KF update: the resampling gather of P rides
+    per-particle lookahead DMAs instead of a materialized `jnp.take`.
 
-    # whitened residual + log-weight
-    e = [e_ref[:, m:m + 1] for m in range(ny)]     # each [B, 1]
-    v = [e[0] / L[(0, 0)]]
-    if ny >= 2:
-        v.append((e[1] - L[(1, 0)] * v[0]) / L[(1, 1)])
-    if ny >= 3:
-        v.append(
-            (e[2] - L[(2, 0)] * v[0] - L[(2, 1)] * v[1]) / L[(2, 2)]
-        )
-    vv = sum(x * x for x in v)
-    logdiag = sum(jnp.log(L[(m, m)]) for m in range(ny))
-    logw_ref[...] = -logdiag - 0.5 * vv - 0.5 * ny * _LOG2PI
-    bad_ref[...] = bad.astype(jnp.int32)
+    While block i computes on the MXU/VPU, block i+1's ancestor
+    covariances P[ai] are already in flight (issued one grid step ahead
+    into the other half of a double buffer), so the gather costs only
+    the HBM *read* of the ancestors — the XLA path additionally writes
+    and re-reads the full gathered [N, nl, nl] tensor. Total P traffic
+    per step drops from ~2 reads + 2 writes to 1 read + 1 write — the
+    information-theoretic minimum for a resampled covariance update
+    (reference semantics: src/particleFilter.m:104-113,163-204).
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
 
-    # gain columns K[:, m] = sum_mp Sinv[m, mp] CP[mp]  (P^T ~ P, matching
-    # ops/kalman's einsum("pji,pjk->pik", CP, Sinv) exactly)
-    Sinv = _sinv_vec(L, ny)
-    sinv = lambda m, mp: Sinv[(m, mp)] if m >= mp else Sinv[(mp, m)]
-    K = [
-        sum(sinv(m, mp) * CP[mp] for mp in range(ny))  # [B, nl]
-        for m in range(ny)
-    ]
-    xl_new = xl_ref[...]
-    for m in range(ny):
-        xl_new = xl_new + K[m] * e[m]
-    xl_out_ref[...] = xl_new
+    def issue(block_idx, slot):
+        base = block_idx * block
+        for b in range(block):
+            pltpu.make_async_copy(
+                P_hbm.at[ai_ref[base + b]], pbuf.at[slot, b],
+                sems.at[slot, b],
+            ).start()
 
-    # covariance downdate P'[b] = P[b] - CP[b]' K[b] — second batched
-    # MXU matmul (contract the ny axis)
-    K3 = jnp.concatenate([k[:, None, :] for k in K], axis=1)  # [B, ny, nl]
-    dd = jax.lax.dot_general(
-        CP3, K3, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                              # [B, nl, nl]
-    P_out_ref[...] = (P - dd).astype(P_out_ref.dtype)
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        issue(i + 1, jax.lax.rem(i + 1, 2))
+
+    for b in range(block):
+        pltpu.make_async_copy(
+            P_hbm.at[ai_ref[i * block + b]], pbuf.at[slot, b],
+            sems.at[slot, b],
+        ).wait()
+
+    P = pbuf[slot].astype(jnp.float32)             # [B, nl, nl]
+    _block_update_math(
+        ny, jitter, C_ref[...], P,
+        e_ref, xl_ref, R_ref, P_out_ref, xl_out_ref, logw_ref, bad_ref,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ny", "nl", "block", "jitter", "interpret")
+)
+def _block_gather_call(ai, C, e, xl, R, P_all, ny, nl, block, jitter,
+                       interpret):
+    n = e.shape[0]
+    grid = (n // block,)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, ny, nl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1, ny), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1, nl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ny, ny), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # P_all stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((block, nl, nl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1, nl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block, nl, nl), P_all.dtype),
+            pltpu.SemaphoreType.DMA((2, block)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_block_gather, ny, block, jitter),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, nl, nl), P_all.dtype),
+            jax.ShapeDtypeStruct((n, 1, nl), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ai, C, e[:, None, :], xl[:, None, :], R, P_all)
+
+
+def kf_update_block_gather(ai, C, xl_gathered, P_all, y, R,
+                           jitter: float = 1e-3, block: int = 32):
+    """Gather-fused blocked dense KF update (ONE HBM read + write of P).
+
+    ai [N] ancestor indices (systematic resampling emits them sorted —
+    near-streaming fetch order); C [N, ny, nl] Jacobians at the
+    propagated particles; xl_gathered [N, nl] (the xl gather is [N, nl]
+    — negligible next to P — and stays in XLA); P_all [N, nl, nl]
+    PRE-resampling covariances (f32 or bf16); y [ny]; R [ny, ny].
+    Returns (xl', P', logw, retried) — identical contract (and algebra,
+    up to fp ordering) to ops.kalman.kalman_update_dense_batched with
+    symmetrize_out=False. ny <= 3; nl must be lane-aligned (pad upstream,
+    see rbpf.py).
+    """
+    n, ny, nl = C.shape
+    if ny > 3:
+        raise ValueError("blocked KF kernel supports ny <= 3")
+    if nl % 128:
+        raise ValueError(f"nl={nl} must be a multiple of 128 (pad upstream)")
+    while block > 1 and n % block:
+        block //= 2
+    # VMEM budget: 2-slot P double buffer + pipelined out blocks + f32
+    # temporaries (P cast + downdate)
+    bytes_blk = block * nl * nl
+    while block > 1 and bytes_blk * (4 * P_all.dtype.itemsize + 12) \
+            > 13 * 1024 * 1024:
+        block //= 2
+        bytes_blk //= 2
+    interpret = jax.default_backend() != "tpu"
+    C = C.astype(jnp.float32)
+    e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl_gathered)
+    P_new, xl_new, logw, bad = _block_gather_call(
+        ai.astype(jnp.int32), C, e.astype(jnp.float32),
+        xl_gathered.astype(jnp.float32), jnp.asarray(R, jnp.float32),
+        P_all, ny, nl, block, jitter, interpret,
+    )
+    return (xl_new[:, 0, :], P_new, logw[:, 0, 0],
+            bad[:, 0, 0].astype(bool))
 
 
 @functools.partial(
@@ -729,33 +886,33 @@ def _block_call(C, e, xl, R, P_all, ny, nl, block, jitter, interpret):
         in_specs=[
             pl.BlockSpec((block, ny, nl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, ny), lambda i: (i, 0),
+            pl.BlockSpec((block, 1, ny), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, nl), lambda i: (i, 0),
+            pl.BlockSpec((block, 1, nl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ny, ny), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((block, nl, nl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((block, nl, nl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, nl), lambda i: (i, 0),
+            pl.BlockSpec((block, 1, nl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0),
+            pl.BlockSpec((block, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0),
+            pl.BlockSpec((block, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, nl, nl), P_all.dtype),
-            jax.ShapeDtypeStruct((n, nl), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1, nl), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(C, e, xl, R, P_all)
+    )(C, e[:, None, :], xl[:, None, :], R, P_all)
 
 
 def kf_update_block(C, P_gathered, xl_gathered, y, R,
@@ -793,7 +950,8 @@ def kf_update_block(C, P_gathered, xl_gathered, y, R,
         jnp.asarray(R, jnp.float32), P_gathered,
         ny, nl, block, jitter, interpret,
     )
-    return xl_new, P_new, logw[:, 0], bad[:, 0].astype(bool)
+    return (xl_new[:, 0, :], P_new, logw[:, 0, 0],
+            bad[:, 0, 0].astype(bool))
 
 
 def fused_gather_kf_update(ai, C, xl_gathered, P_all, y, R,

@@ -23,12 +23,16 @@ def symmetrize(A):
 
 
 def psd_cholesky(A, jitter: float):
-    """Lower Cholesky with a single fixed-jitter retry.
+    """Lower Cholesky with a fixed-jitter retry + guaranteed PSD repair.
 
     Returns ``(L, retried)`` where ``retried`` is a boolean (per batch
-    element) that is True when the jittered factorization was used —
-    the TPU-native equivalent of the reference's ``chol`` flag retry
-    (src/particleFilter.m:145-148).
+    element) that is True when a repaired factorization was used. Stage 1
+    is the TPU-native equivalent of the reference's ``chol`` flag retry
+    (src/particleFilter.m:145-148: one fixed-jitter refactorization);
+    stage 2 — for matrices too indefinite for the fixed jitter — shifts
+    by the Gershgorin lower bound on the smallest eigenvalue, which makes
+    the factorization finite for ANY symmetric input (the diagonal then
+    dominates each row), so callers never propagate NaN into weights.
     """
     L = jnp.linalg.cholesky(A)
     bad = ~jnp.all(jnp.isfinite(L), axis=(-2, -1))
@@ -36,9 +40,25 @@ def psd_cholesky(A, jitter: float):
 
     def refactor(_):
         L_j = jnp.linalg.cholesky(A + jitter * eye)
+        still_bad = ~jnp.all(jnp.isfinite(L_j), axis=(-2, -1))
+
+        def gershgorin(_):
+            # lambda_min >= min_i (A_ii - sum_{j != i} |A_ij|)
+            diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+            offsum = jnp.sum(jnp.abs(A), axis=-1) - jnp.abs(diag)
+            gmin = jnp.min(diag - offsum, axis=-1)
+            shift = jitter + jnp.maximum(0.0, -gmin)
+            L_g = jnp.linalg.cholesky(
+                A + shift[..., None, None] * eye
+            )
+            return jnp.where(still_bad[..., None, None], L_g, L_j)
+
+        L_j = jax.lax.cond(
+            jnp.any(still_bad), gershgorin, lambda _: L_j, None
+        )
         return jnp.where(bad[..., None, None], L_j, L)
 
-    # the retry is rare: guard the second factorization behind a cond so
+    # the retry is rare: guard the extra factorizations behind a cond so
     # the common path costs a single Cholesky
     L = jax.lax.cond(jnp.any(bad), refactor, lambda _: L, None)
     return L, bad

@@ -109,7 +109,7 @@ def _load_real_data(path):
     return d["x"], d["y"], d["s"].ravel()
 
 
-def run(cfg: MagLocalizationConfig) -> dict:
+def run(cfg: MagLocalizationConfig, video=None) -> dict:
     key = jax.random.PRNGKey(cfg.seed)
     key, k_field, k_pf, k_init = jax.random.split(key, 4)
     out = {"workload": "mag-localization-mapping"}
@@ -226,6 +226,7 @@ def run(cfg: MagLocalizationConfig) -> dict:
                 n_particles=n_p,
                 resampling=cfg.resampling,
                 ess_threshold=cfg.ess_threshold,
+                store_trajectories=video is not None,
             ),
         )
         jax.block_until_ready(res.traj_mean)
@@ -242,6 +243,29 @@ def run(cfg: MagLocalizationConfig) -> dict:
         "time_s": t_pf.elapsed,
         "particle_steps_per_s": n_p * T / t_pf.elapsed,
     }
+    if video is not None:
+        # robot-pf.mp4 analog: global localization converging on the GP
+        # magnetic map — offline render from the scan's stored cloud
+        from ..viz.animation import animate_particle_cloud
+
+        n_grid = 60
+        gx = np.linspace(lo[0], hi[0], n_grid)
+        gy = np.linspace(lo[1], hi[1], n_grid)
+        GX, GY = np.meshgrid(gx, gy)
+        pts = np.stack([GX.ravel(), GY.ravel(), np.zeros(GX.size)], -1)
+        mean_g, _ = gp.predict_gradient(jnp.asarray(pts, jnp.float32))
+        img = np.linalg.norm(np.asarray(mean_g), axis=-1).reshape(
+            n_grid, n_grid
+        )
+        n_frames = animate_particle_cloud(
+            video,
+            np.asarray(res.xn_hist),
+            traj_mean=np.asarray(res.traj_mean[:, :2]),
+            truth=x_test[:, :2],
+            background=((lo[0], hi[0], lo[1], hi[1]), img),
+            title="magnetic terrain localization — PF",
+        )
+        out["pf"]["video"] = {"path": video, "frames": n_frames}
     return out
 
 
@@ -260,6 +284,9 @@ def main(argv=None):
                     help="path to AaltoML magnetic-data .mat")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--video", default=None, metavar="GIF",
+                    help="write a localization animation "
+                         "(robot-pf.mp4 analog) to this .gif path")
     args = ap.parse_args(argv)
     cfg = MagLocalizationConfig(
         n_particles=200 if args.quick else args.particles,
@@ -271,7 +298,7 @@ def main(argv=None):
         data_path=args.data,
         seed=args.seed,
     )
-    report(run(cfg))
+    report(run(cfg, video=args.video))
 
 
 if __name__ == "__main__":

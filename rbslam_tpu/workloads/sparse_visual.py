@@ -60,7 +60,7 @@ def _init_maps(key, landmarks, n_particles, guess_var):
     return flat[None, :] + jnp.sqrt(guess_var) * noise
 
 
-def run(cfg: SparseVisualConfig, plot_dir=None) -> dict:
+def run(cfg: SparseVisualConfig, plot_dir=None, video=None) -> dict:
     key = jax.random.PRNGKey(cfg.seed)
     key, k_data, k_map_f, k_map_s, k_f, k_s = jax.random.split(key, 6)
     data, model, Q, R, x0 = build_problem(cfg, k_data)
@@ -109,6 +109,22 @@ def run(cfg: SparseVisualConfig, plot_dir=None) -> dict:
                 traj=np.asarray(res.traj_mean[:, :2]),
                 title="PF landmark map + mean trajectory",
             )
+        if video is not None:
+            # loop-pf.mp4 analog (plot_visual_slam_progress.m): offline
+            # pass over the scan's stored per-step cloud — the filter
+            # never blocked on the renderer
+            from ..viz.animation import animate_particle_cloud
+
+            n_frames = animate_particle_cloud(
+                video,
+                np.asarray(res.xn_hist),
+                traj_mean=np.asarray(res.traj_mean[:, :2]),
+                truth=np.asarray(truth_traj),
+                landmarks_true=np.asarray(truth_map),
+                landmarks_est=np.asarray(res.xl_mean).reshape(-1, 2),
+                title="sparse visual SLAM — PF progress",
+            )
+            out["pf"]["video"] = {"path": video, "frames": n_frames}
 
     if cfg.run_smoother:
         x0_lin = _init_maps(
@@ -153,6 +169,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--plots", default=None, metavar="DIR")
+    ap.add_argument("--video", default=None, metavar="GIF",
+                    help="write a PF progress animation "
+                         "(loop-pf.mp4 analog) to this .gif path")
     args = ap.parse_args(argv)
     cfg = SparseVisualConfig(
         n_particles_pf=20 if args.quick else args.particles,
@@ -161,7 +180,7 @@ def main(argv=None):
         n_shuffle=args.shuffle,
         seed=args.seed,
     )
-    report(run(cfg, plot_dir=args.plots))
+    report(run(cfg, plot_dir=args.plots, video=args.video))
 
 
 if __name__ == "__main__":

@@ -281,3 +281,61 @@ def test_gridded_terrain_matches_exact_and_localizes():
         np.asarray(res.traj_mean[:, :2]) - x_test[:, :2], axis=-1
     )
     assert float(err[-10:].mean()) < 1.0, err[-10:]
+
+
+def test_ekf_dense_batched_matches_sequential():
+    """run_ekf_dense_batched (one vmapped scan over MC runs — the
+    batched engine behind the --compare sweep, main.m:37-60) equals the
+    sequential EKF run-for-run."""
+    from rbslam_tpu.engines import run_ekf_dense, run_ekf_dense_batched
+    from rbslam_tpu.workloads.dense_mag import DenseMagConfig, build_problem
+
+    cfg = DenseMagConfig(m_basis=32, m_sim=64, n_laps=1, n_per_lap=24)
+    builds = []
+    for i in range(3):
+        k = jax.random.split(jax.random.PRNGKey(1 + i), 4)[1]
+        builds.append(
+            build_problem(DenseMagConfig(**{**cfg.__dict__, "seed": 1 + i}), k)
+        )
+    data0, _, _, potential, center, k_sd, Q, R = builds[0]
+    n = 6 + potential.n_lin
+    x0 = jnp.concatenate([
+        data0.init_state[:3] - center, jnp.zeros(3),
+        jnp.zeros(potential.n_lin),
+    ])
+    q0 = data0.init_state[3:7]
+    P0 = jnp.zeros((n, n)).at[6:, 6:].set(jnp.diag(k_sd))
+    seq = [
+        run_ekf_dense(potential, b[0].dx, b[1], x0, q0, P0, Q, R, 0.01)
+        for b in builds
+    ]
+    bat = run_ekf_dense_batched(
+        potential,
+        jnp.stack([b[0].dx for b in builds]),
+        jnp.stack([b[1] for b in builds]),
+        x0, q0, P0, Q, R, 0.01,
+    )
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(bat.x_traj[i]), np.asarray(seq[i].x_traj), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(bat.q_traj[i]), np.asarray(seq[i].q_traj), atol=1e-5
+        )
+
+
+def test_dense_mag_comparison_quick():
+    """run_comparison end-to-end (batched EKF + PF + PS) at a tiny
+    config: finite RMSEs for every engine at every disturbance."""
+    from rbslam_tpu.workloads.dense_mag import DenseMagConfig, run_comparison
+
+    out = run_comparison(
+        DenseMagConfig(n_particles=8, n_sweeps=1, m_basis=32, m_sim=64,
+                       n_laps=1, n_per_lap=24),
+        disturbances=(0.0, 5.0), n_sim=2,
+    )
+    for o, row in out["rmse_by_disturbance"].items():
+        for eng in ("ekf", "pf", "ps"):
+            assert np.isfinite(row[eng]["mean"]), (o, eng)
+            assert np.isfinite(row[eng]["median"])
+    assert len(out["raw"]["0.0"]["ekf"]) == 2

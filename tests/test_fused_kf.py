@@ -168,3 +168,47 @@ def test_rbpf_block_kernel_equivalent():
     np.testing.assert_allclose(
         np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-3
     )
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_block_gather_kernel_matches_reference(dtype):
+    """Gather-fused blocked kernel == gather + XLA update (interpret)."""
+    from rbslam_tpu.kernels.kf_update import kf_update_block_gather
+
+    ai, C, P, xl, y, R = _problem(nl=128)
+    P = P.astype(jnp.dtype(dtype))
+    Pg = jnp.take(P, ai, axis=0)
+    xlg = jnp.take(xl, ai, axis=0)
+    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
+    out = kf_update_block_gather(ai, C, xlg, P, y, R)
+    tol = 1e-5 if dtype == "float32" else 5e-2
+    assert out[1].dtype == P.dtype
+    np.testing.assert_allclose(out[0], ref[0], atol=10 * tol)
+    np.testing.assert_allclose(
+        out[1].astype(jnp.float32), ref[1].astype(jnp.float32), atol=tol
+    )
+    np.testing.assert_allclose(out[2], ref[2], atol=10 * tol)
+
+
+def test_rbpf_block_gather_equivalent():
+    """Full filter run: kf_kernel='block_gather' == XLA path (the kernel
+    pads n_lin up to 128 internally; results identical after unpad)."""
+    data, model, basis, center, k, Q = _radio_setup()
+    base = dict(n_particles=16, resampling="systematic",
+                symmetrize_cov=False)
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    res_a = run_rbpf(jax.random.PRNGKey(0), *args, RBPFConfig(**base))
+    res_b = run_rbpf(
+        jax.random.PRNGKey(0), *args,
+        RBPFConfig(**base, kf_kernel="block_gather"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.traj_mean), np.asarray(res_b.traj_mean), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-3
+    )

@@ -166,3 +166,38 @@ def test_rbpf_no_symmetrize_stays_stable():
         res_ns.P - np.swapaxes(np.asarray(res_ns.P), -1, -2)
     )))
     assert asym < 1e-4, asym
+
+
+def test_bf16_cov_fenced_at_reference_scale():
+    """bf16 covariance at n_lin=515 (the dense-mag reference scale) is a
+    measured NaN source in the filter (RESULTS.md) — the engine must
+    refuse it rather than silently diverge, and the override flag must
+    lift the fence."""
+    import pytest
+
+    from rbslam_tpu.engines import RBPFConfig, run_rbpf
+    from rbslam_tpu.models.base import DenseModel
+
+    n_lin = 515
+    T = 3
+
+    def jac(xn):
+        return jnp.zeros((3, n_lin))
+
+    def dyn(key, xn, u, dt, Q):
+        return xn
+
+    model = DenseModel(dynamics=dyn, dyn_residual=None,
+                       meas_jacobian=jac, n_nonlin=7, n_lin=n_lin, ny=3)
+    args = (
+        model, jnp.zeros((T - 1, 7)), jnp.zeros((T, 3)), jnp.zeros(7),
+        jnp.zeros(n_lin), jnp.eye(n_lin), jnp.eye(6), jnp.eye(3), 0.01,
+    )
+    with pytest.raises(ValueError, match="bfloat16.*destabilizes"):
+        run_rbpf(jax.random.PRNGKey(0), *args,
+                 RBPFConfig(n_particles=2, cov_dtype="bfloat16"))
+    # override flag lifts the fence; small n_lin never fences
+    res = run_rbpf(jax.random.PRNGKey(0), *args,
+                   RBPFConfig(n_particles=2, cov_dtype="bfloat16",
+                              allow_bf16_large_nl=True))
+    assert np.all(np.isfinite(np.asarray(res.logw)))

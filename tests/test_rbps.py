@@ -83,17 +83,25 @@ def test_rbps_info_bf16_covariance():
     )
     cfg32 = RBPSConfig(n_particles=30, n_sweeps=3)
     cfg16 = cfg32._replace(cov_dtype="bfloat16")
-    res32 = run_rbps_information_form(jax.random.PRNGKey(8), *args, cfg32)
-    res16 = run_rbps_information_form(jax.random.PRNGKey(8), *args, cfg16)
-    assert res16.PK.dtype == jnp.float32  # cast back on output
-    r32 = float(
-        aligned_position_rmse(jnp.asarray(data.pos), res32.XNK[-1, :, :2])
-    )
-    r16 = float(
-        aligned_position_rmse(jnp.asarray(data.pos), res16.XNK[-1, :, :2])
-    )
-    assert np.isfinite(r16)
-    assert abs(r32 - r16) < 0.5, (r32, r16)
+    r32, r16 = [], []
+    for seed in (8, 18, 28):
+        res32 = run_rbps_information_form(
+            jax.random.PRNGKey(seed), *args, cfg32
+        )
+        res16 = run_rbps_information_form(
+            jax.random.PRNGKey(seed), *args, cfg16
+        )
+        assert res16.PK.dtype == jnp.float32  # cast back on output
+        r32.append(float(aligned_position_rmse(
+            jnp.asarray(data.pos), res32.XNK[-1, :, :2])))
+        r16.append(float(aligned_position_rmse(
+            jnp.asarray(data.pos), res16.XNK[-1, :, :2])))
+    assert np.all(np.isfinite(r16)), r16
+    # distribution-level gate at signal scale (means ~0.05-0.2 m): the
+    # multi-seed mean RMSEs must agree to 50% relative + 0.02 m, far
+    # tighter than any single-seed absolute bound
+    m32, m16 = np.mean(r32), np.mean(r16)
+    assert abs(m32 - m16) < 0.5 * max(m32, m16) + 0.02, (r32, r16)
 
 
 def test_woodbury_rank_ny_matches_fresh_inverse():
@@ -136,21 +144,28 @@ def test_rbps_info_woodbury_matches_cholesky():
     )
     cfg_c = RBPSConfig(n_particles=30, n_sweeps=3)
     cfg_w = cfg_c._replace(ancestor_form="woodbury")
-    res_c = run_rbps_information_form(jax.random.PRNGKey(9), *args, cfg_c)
-    res_w = run_rbps_information_form(jax.random.PRNGKey(9), *args, cfg_w)
-    r_c = float(
-        aligned_position_rmse(jnp.asarray(data.pos), res_c.XNK[-1, :, :2])
-    )
-    r_w = float(
-        aligned_position_rmse(jnp.asarray(data.pos), res_w.XNK[-1, :, :2])
-    )
-    assert np.isfinite(r_w), r_w
-    assert abs(r_c - r_w) < 0.5, (r_c, r_w)
-    # sweep 1 is a plain RBPF in both forms: identical keys => identical
-    # sampled trajectory
-    np.testing.assert_allclose(
-        np.asarray(res_c.XNK[0]), np.asarray(res_w.XNK[0]), atol=1e-5
-    )
+    r_c, r_w = [], []
+    for seed in (9, 19, 29):
+        res_c = run_rbps_information_form(
+            jax.random.PRNGKey(seed), *args, cfg_c
+        )
+        res_w = run_rbps_information_form(
+            jax.random.PRNGKey(seed), *args, cfg_w
+        )
+        r_c.append(float(aligned_position_rmse(
+            jnp.asarray(data.pos), res_c.XNK[-1, :, :2])))
+        r_w.append(float(aligned_position_rmse(
+            jnp.asarray(data.pos), res_w.XNK[-1, :, :2])))
+        if seed == 9:
+            # sweep 1 is a plain RBPF in both forms: identical keys =>
+            # identical sampled trajectory
+            np.testing.assert_allclose(
+                np.asarray(res_c.XNK[0]), np.asarray(res_w.XNK[0]),
+                atol=1e-5,
+            )
+    assert np.all(np.isfinite(r_w)), r_w
+    m_c, m_w = np.mean(r_c), np.mean(r_w)
+    assert abs(m_c - m_w) < 0.5 * max(m_c, m_w) + 0.02, (r_c, r_w)
 
 
 def test_rbps_info_matches_naive_statistically():
@@ -163,13 +178,70 @@ def test_rbps_info_matches_naive_statistically():
         jnp.zeros(basis.m), jnp.diag(k), Q,
         jnp.array([[THETA[2]]]), 1.0, cfg,
     )
-    res_naive = run_rbps(jax.random.PRNGKey(6), *args)
-    res_info = run_rbps_information_form(jax.random.PRNGKey(6), *args)
-    r_naive = float(
-        aligned_position_rmse(jnp.asarray(data.pos), res_naive.XNK[-1, :, :2])
+    r_naive, r_info = [], []
+    for seed in (6, 16, 26):
+        res_naive = run_rbps(jax.random.PRNGKey(seed), *args)
+        res_info = run_rbps_information_form(
+            jax.random.PRNGKey(seed), *args
+        )
+        r_naive.append(float(aligned_position_rmse(
+            jnp.asarray(data.pos), res_naive.XNK[-1, :, :2])))
+        r_info.append(float(aligned_position_rmse(
+            jnp.asarray(data.pos), res_info.XNK[-1, :, :2])))
+    assert np.all(np.isfinite(r_naive)) and np.all(np.isfinite(r_info))
+    m_n, m_i = np.mean(r_naive), np.mean(r_info)
+    assert abs(m_n - m_i) < 0.5 * max(m_n, m_i) + 0.02, (r_naive, r_info)
+
+
+def test_sparse_ancestor_weights_match_direct_stacked():
+    """_sparse_future_log_weights (matrix-inversion-lemma rederivation of
+    the reference's stacked future system, src/particleSmoother.m:194-218)
+    == a direct O((ny(T-t))^3) stacked evaluation, particle-for-particle
+    at several t."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_engines_more import _sparse_toy
+
+    from rbslam_tpu.engines.rbps import _sparse_future_log_weights
+    from rbslam_tpu.math.linalg import gaussian_logpdf_chol, psd_cholesky
+
+    key = jax.random.PRNGKey(11)
+    model, landmarks, truth, y, u = _sparse_toy(key, n_landmarks=5, T=12)
+    T, ny = y.shape
+    n_lin = 2 * landmarks.shape[0]
+    n_p = 4
+    mask = jnp.isfinite(y).astype(jnp.float32)
+
+    k1, k2 = jax.random.split(key)
+    xl = landmarks.reshape(-1)[None] + 0.3 * jax.random.normal(
+        k1, (n_p, n_lin)
     )
-    r_info = float(
-        aligned_position_rmse(jnp.asarray(data.pos), res_info.XNK[-1, :, :2])
-    )
-    assert np.isfinite(r_naive) and np.isfinite(r_info)
-    assert abs(r_naive - r_info) < 0.5, (r_naive, r_info)
+    A = 0.1 * jax.random.normal(k2, (n_p, n_lin, n_lin))
+    P = jnp.einsum("pij,pkj->pik", A, A) + 0.5 * jnp.eye(n_lin)
+    R = 0.01 * jnp.eye(ny)
+    r_diag = jnp.diagonal(R)
+    xnk = truth  # reference trajectory
+
+    def direct(t_idx, xl_i, P_i):
+        """Reference-shaped stacked system with fixed-width time mask."""
+        yhat_all, H_all = jax.vmap(
+            lambda xr: model.measure(xr, xl_i)
+        )(xnk)
+        active = (jnp.arange(T) >= t_idx).astype(jnp.float32)
+        m = (mask * active[:, None]).reshape(T * ny)
+        H = H_all.reshape(T * ny, n_lin) * m[:, None]
+        e = (jnp.nan_to_num(y) - yhat_all).reshape(T * ny) * m
+        Rstack = jnp.tile(r_diag, T)
+        S = H @ P_i @ H.T + jnp.diag(Rstack * m + (1.0 - m))
+        L, _ = psd_cholesky(S, 1e-9)
+        return gaussian_logpdf_chol(e, L, n_obs=jnp.sum(m))
+
+    for t_idx in [0, 4, 9, 11]:
+        ref = jax.vmap(lambda a, b: direct(t_idx, a, b))(xl, P)
+        got, _ = _sparse_future_log_weights(
+            model, xnk, y, mask, jnp.asarray(t_idx), xl, P, R, 1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-3
+        )

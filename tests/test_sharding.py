@@ -97,3 +97,109 @@ def test_sharded_info_smoother_matches_single_device(mesh_shape):
     np.testing.assert_allclose(
         np.asarray(res_sh.XLK), np.asarray(res_1.XLK), atol=1e-3
     )
+
+
+@pytest.mark.parametrize("scheme", ["systematic", "stratified", "multinomial"])
+@pytest.mark.parametrize("mode", ["replicated_cdf", "prefix"])
+def test_sharded_resampler_matches_single_device(scheme, mode):
+    """Explicit-collective distributed resampling == the single-device
+    inverse-CDF resampler, index-for-index (SURVEY §2.4 distributed
+    resampling; reference semantics tools/sample.m:30-33)."""
+    from rbslam_tpu.ops.resampling import resample_indices
+    from rbslam_tpu.parallel.resampling import sharded_resample_indices
+
+    mesh = make_mesh(8, 1, devices=jax.devices()[:8])
+    key = jax.random.PRNGKey(7)
+    w = jax.random.uniform(jax.random.PRNGKey(8), (256,))
+    w = w / w.sum()
+    ref = resample_indices(key, w, 256, scheme)
+    out = sharded_resample_indices(key, w, mesh, scheme, mode)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_full_rbpf_mesh_matches_single_device(mesh_shape):
+    """The FULL filter engine (ancestors, trajectories, log-evidence,
+    ESS) under a (particles[, map]) mesh equals the unsharded run —
+    multi-chip as the engine path, not a stripped demo."""
+    from rbslam_tpu.engines import RBPFConfig, run_rbpf
+    from test_rbpf import THETA, _radio_setup
+
+    data, model, basis, center, k, Q = _radio_setup()
+    cfg = RBPFConfig(n_particles=16, resampling="systematic")
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0, cfg,
+    )
+    key = jax.random.PRNGKey(0)
+    r1 = run_rbpf(key, *args)
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[:8])
+    r2 = run_rbpf(key, *args, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(r2.ancestors), np.asarray(r1.ancestors)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r2.traj_mean), np.asarray(r1.traj_mean), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r2.xl_mean), np.asarray(r1.xl_mean), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(r2.log_evidence), float(r1.log_evidence), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(r2.ess), np.asarray(r1.ess), rtol=1e-4
+    )
+
+
+def test_rbpf_mesh_ess_adaptive_matches():
+    """ESS-gated resampling under the mesh (cond around the sharded
+    resampler) still equals the unsharded engine."""
+    from rbslam_tpu.engines import RBPFConfig, run_rbpf
+    from test_rbpf import THETA, _radio_setup
+
+    data, model, basis, center, k, Q = _radio_setup()
+    cfg = RBPFConfig(n_particles=16, resampling="systematic",
+                     ess_threshold=0.5)
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0, cfg,
+    )
+    key = jax.random.PRNGKey(2)
+    r1 = run_rbpf(key, *args)
+    mesh = make_mesh(8, 1, devices=jax.devices()[:8])
+    r2 = run_rbpf(key, *args, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(r2.traj_mean), np.asarray(r1.traj_mean), atol=1e-5
+    )
+
+
+def test_rbpf_mesh_rejects_pallas_kernels():
+    from rbslam_tpu.engines import RBPFConfig, run_rbpf
+    from test_rbpf import THETA, _radio_setup
+
+    data, model, basis, center, k, Q = _radio_setup()
+    cfg = RBPFConfig(n_particles=16, kf_kernel="block")
+    mesh = make_mesh(8, 1, devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="single-device"):
+        run_rbpf(
+            jax.random.PRNGKey(0), model, data.dx, data.y,
+            data.init_state, jnp.zeros(basis.m), jnp.diag(k), Q,
+            jnp.array([[THETA[2]]]), 1.0, cfg, mesh=mesh,
+        )
+
+
+def test_hybrid_mesh_single_process():
+    """make_hybrid_mesh on one process: all devices, map on ICI."""
+    from rbslam_tpu.parallel.distributed import (
+        initialize_distributed, make_hybrid_mesh,
+    )
+
+    assert initialize_distributed() is False  # single-process no-op
+    mesh = make_hybrid_mesh(n_map_shards=2)
+    assert mesh.shape["map"] == 2
+    assert mesh.shape["particles"] == len(jax.devices()) // 2
+    with pytest.raises(ValueError):
+        make_hybrid_mesh(n_map_shards=3)

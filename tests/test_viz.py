@@ -47,3 +47,38 @@ def test_plot_functions_write_pngs(tmp_path):
     )
     for p in (p1, p2, p3, p4):
         assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_animate_particle_cloud(tmp_path):
+    """GIF animation writes frames from a per-step cloud (offline analog
+    of the reference's makePlots-in-the-loop videos)."""
+    from rbslam_tpu.viz.animation import animate_particle_cloud
+
+    rng = np.random.default_rng(0)
+    T, n_p = 6, 30
+    xn_hist = rng.normal(size=(T, n_p, 3)).cumsum(axis=0)
+    traj = xn_hist.mean(axis=1)
+    out = tmp_path / "cloud.gif"
+    n = animate_particle_cloud(
+        str(out), xn_hist, traj_mean=traj[:, :2], truth=traj[:, :2],
+        landmarks_true=rng.normal(size=(4, 2)),
+        landmarks_est=rng.normal(size=(4, 2)),
+        background=((-3, 3, -3, 3), rng.random((16, 16))),
+        fps=5,
+    )
+    assert n == T
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_sparse_visual_video_smoke(tmp_path):
+    """--video wiring: the sparse-visual workload writes a PF progress
+    GIF (loop-pf.mp4 analog) without blocking the scan."""
+    from rbslam_tpu.workloads.sparse_visual import SparseVisualConfig, run
+
+    out = tmp_path / "pf.gif"
+    r = run(
+        SparseVisualConfig(n_particles_pf=8, run_smoother=False),
+        video=str(out),
+    )
+    assert r["pf"]["video"]["frames"] == r["n_steps"]
+    assert out.exists() and out.stat().st_size > 1000
