@@ -159,21 +159,47 @@ def bench_pf(n_particles, n_steps, repeats=3):
     return n_particles * n_steps / best, best
 
 
-def numpy_baseline_per_step(m_basis, n_particles, n_steps=8):
-    """Single-threaded per-particle-loop RBPF step cost (the reference's
-    structure: for-loop over particles, BLAS for the inner linear algebra)."""
+def _numpy_grad_basis(pos, NN, L):
+    """Real reduced-rank basis-gradient evaluation, vectorized over the
+    ensemble exactly as the reference's dense measModel is
+    (src/particleFilter.m:124; tools/domain_cartesian_dx.m:146-170):
+    d/dx_k prod_j L_j^-1/2 sin(pi n_j (x_j + L_j) / (2 L_j)).
+
+    pos: [N, 3]; NN: [m, 3]; L: [3]. Returns [N, 3, m].
+    """
+    w = np.pi * NN / (2.0 * L)                   # [m, 3]
+    arg = pos[:, None, :] * w[None] + w[None] * L  # [N, m, 3]
+    sin = np.sin(arg)
+    cos = np.cos(arg)
+    norm = float(np.prod(1.0 / np.sqrt(L)))
+    out = np.empty((pos.shape[0], 3, NN.shape[0]))
+    for k in range(3):
+        others = [j for j in range(3) if j != k]
+        out[:, k, :] = (
+            norm * w[None, :, k] * cos[:, :, k]
+            * sin[:, :, others[0]] * sin[:, :, others[1]]
+        )
+    return out
+
+
+def numpy_baseline_per_step(m_basis, n_particles, NN, L, n_steps=8):
+    """Single-threaded per-particle-loop RBPF step cost — the reference's
+    structure faithfully: per-particle inverse-CDF resampling
+    (tools/sample.m:30-33), one vectorized basis/Jacobian evaluation per
+    step (src/particleFilter.m:124), then a for-loop of per-particle
+    weight + Kalman updates with BLAS inner algebra (:126-204)."""
     rng = np.random.default_rng(0)
     n_lin = 3 + m_basis
     ny = 3
-    # representative C rows (dense random stands in for basis eval cost
-    # of eigenfun_dx; this *under*counts the baseline cost since the real
-    # reference also evaluates O(m * d) transcendentals per particle)
     P = np.tile(np.eye(n_lin, dtype=np.float64), (n_particles, 1, 1))
     xl = rng.normal(size=(n_particles, n_lin))
     w = np.full(n_particles, 1.0 / n_particles)
     R = 10.0 * np.eye(ny)
     y = rng.normal(size=ny)
-    xn = rng.normal(size=(n_particles, 7))
+    xn = rng.uniform(-0.5, 0.5, size=(n_particles, 7))
+    Rnb = np.eye(3) + 0.1 * np.array(
+        [[0.0, -1.0, 0.5], [1.0, 0.0, -0.2], [-0.5, 0.2, 0.0]]
+    )
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -185,14 +211,21 @@ def numpy_baseline_per_step(m_basis, n_particles, n_steps=8):
         xn = xn[ai] + 0.01 * rng.normal(size=xn.shape)
         xl = xl[ai]
         P = P[ai]
+        # real basis eval + body-frame rotation (run_dense3D_magfield.m:
+        # 265-279): C = Rnb' [I3 | dPhi]
+        g = _numpy_grad_basis(xn[:, :3], NN, L)   # [N, 3, m]
+        eye3 = np.broadcast_to(np.eye(3), (n_particles, 3, 3))
+        C_all = np.einsum(
+            "ji,njk->nik", Rnb, np.concatenate([eye3, g], axis=2)
+        )
         logw = np.empty(n_particles)
         for i in range(n_particles):
-            C = rng.normal(size=(ny, n_lin))  # stands in for basis eval
+            C = C_all[i]
             e = y - C @ xl[i]
             S = C @ P[i] @ C.T + R
-            L = np.linalg.cholesky(S)
-            v = np.linalg.solve(L, e)
-            logw[i] = -np.log(np.diag(L)).sum() - 0.5 * v @ v
+            Lc = np.linalg.cholesky(S)
+            v = np.linalg.solve(Lc, e)
+            logw[i] = -np.log(np.diag(Lc)).sum() - 0.5 * v @ v
             K = P[i] @ np.linalg.solve(S, C).T
             xl[i] = xl[i] + K @ e
             P[i] = P[i] - K @ S @ K.T
@@ -207,8 +240,14 @@ def numpy_baseline_best(m_basis, n_particles, repeats=3):
     """Best-of-N baseline cost — the per-particle loop is deterministic
     work, so min over repeats removes transient host-load noise from the
     reported vs_baseline ratio."""
+    from rbslam_tpu.basis import hypercube_basis
+
+    b = hypercube_basis(m_basis, np.array([2.0, 2.0, 1.0]))
+    NN = np.asarray(b.NN, dtype=np.float64)
+    L = np.asarray(b.L, dtype=np.float64)
     return min(
-        numpy_baseline_per_step(m_basis, n_particles) for _ in range(repeats)
+        numpy_baseline_per_step(m_basis, n_particles, NN, L)
+        for _ in range(repeats)
     )
 
 

@@ -345,10 +345,13 @@ def run_rbpf(
         xn_anc = jnp.take(xn, ai, axis=0)
         xl_anc = jnp.take(xl, ai, axis=0)
 
-        dyn_keys = jax.random.split(k_dyn, n_p)
-        xn_new = jax.vmap(
-            lambda kk, x: model.dynamics(kk, x, u, dt_t, Q_t)
-        )(dyn_keys, xn_anc)
+        if getattr(model, "dynamics_batch", None) is not None:
+            xn_new = model.dynamics_batch(k_dyn, xn_anc, u, dt_t, Q_t)
+        else:
+            dyn_keys = jax.random.split(k_dyn, n_p)
+            xn_new = jax.vmap(
+                lambda kk, x: model.dynamics(kk, x, u, dt_t, Q_t)
+            )(dyn_keys, xn_anc)
 
         if fused:
             from ..kernels.kf_update import fused_gather_kf_update_1pass

@@ -434,8 +434,27 @@ def run_rbps(
     mask: Optional[jnp.ndarray] = None,
     checkpoint_dir: Optional[str] = None,
 ) -> RBPSResult:
-    """Run N_K CPF-AS sweeps (src/particleSmoother.m:88)."""
+    """Run N_K CPF-AS sweeps (src/particleSmoother.m:88).
+
+    COST WARNING (dense path): the naive ancestor weights build the full
+    fixed-width [T*ny, T*ny] masked stacked system per particle per step
+    — O(N_K N_T N_P (T ny)^3) total, the cost blowup the reference's
+    information form exists to remove (src/particleSmoother.m:221-229;
+    SURVEY §3.2). For dense models beyond small T (e.g. the dense-mag
+    T=192, ny=3 config) use :func:`run_rbps_information_form` — this
+    engine is the semantics reference and the sparse-features smoother.
+    """
     y = jnp.asarray(y)
+    if isinstance(model, DenseModel) and y.shape[0] * model.ny > 256:
+        import warnings
+
+        warnings.warn(
+            f"run_rbps dense ancestor weights factorize a "
+            f"[{y.shape[0] * model.ny}]^2 stacked system per particle "
+            "per step (O((T ny)^3)); use run_rbps_information_form at "
+            "this scale",
+            stacklevel=2,
+        )
     if mask is None:
         mask = jnp.isfinite(y).astype(y.dtype)
     return _run_sweeps(

@@ -138,17 +138,26 @@ def _grad_call(xT_pad, nn_pack, scale, d: int):
 
 
 class _BasisKernels:
-    """Per-basis cached packed constants."""
+    """Per-basis cached packed constants.
+
+    Stored as NUMPY arrays, never device/traced arrays: the cache is
+    shared across jit traces, and a jnp array materialized inside one
+    trace leaks its tracer into the next (UnexpectedTracerError when two
+    different jitted programs use the same basis). jnp.asarray at use
+    time makes a fresh constant per trace.
+    """
 
     def __init__(self, basis):
         self.d = basis.d
         self.m = basis.m
         m_pad = -(-self.m // _TM) * _TM
-        pack = jnp.asarray(_pack_constants(basis.NN, basis.L))
-        self.nn_pack = _pad_axis(pack, m_pad, 1)
+        pack = np.asarray(_pack_constants(basis.NN, basis.L), np.float32)
+        widths = [(0, 0)] * pack.ndim
+        widths[1] = (0, m_pad - pack.shape[1])
+        self.nn_pack = np.pad(pack, widths)
         L = np.asarray(basis.L, np.float64)
-        self.scale = jnp.asarray(
-            [[float(np.prod(1.0 / np.sqrt(L)))]], jnp.float32
+        self.scale = np.asarray(
+            [[float(np.prod(1.0 / np.sqrt(L)))]], np.float32
         )
 
 
@@ -184,7 +193,8 @@ def phi_basis_pallas(basis, x):
     """phi(x): [N, d] -> [N, m] via the fused Pallas kernel."""
     bk = _kernels_for(basis)
     xT_pad, n = _prep_x(basis, x)
-    out = _phi_call(xT_pad, bk.nn_pack, bk.scale, bk.d)
+    out = _phi_call(xT_pad, jnp.asarray(bk.nn_pack),
+                    jnp.asarray(bk.scale), bk.d)
     return out[:n, : bk.m]
 
 
@@ -192,5 +202,6 @@ def grad_basis_pallas(basis, x):
     """grad phi(x): [N, d] -> [N, d, m] via the fused Pallas kernel."""
     bk = _kernels_for(basis)
     xT_pad, n = _prep_x(basis, x)
-    out = _grad_call(xT_pad, bk.nn_pack, bk.scale, bk.d)
+    out = _grad_call(xT_pad, jnp.asarray(bk.nn_pack),
+                      jnp.asarray(bk.scale), bk.d)
     return jnp.transpose(out[:, :n, : bk.m], (1, 0, 2))

@@ -653,6 +653,11 @@ def _spd_inv_logdet(S, ny: int, jitter: float):
 
 def _block_update_math(ny, jitter, C, P, e_ref, xl_ref, R_ref,
                        P_out_ref, xl_out_ref, logw_ref, bad_ref):
+    # P arrives in its STORAGE dtype (bf16 or f32) and is never cast as a
+    # full tensor: the MXU consumes bf16 operands natively with f32
+    # accumulation (preferred_element_type), so the only extra rounding
+    # vs an f32 pipeline is the final downdate subtract in storage dtype
+    # — which the XLA path's output cast performs anyway.
     """Shared blocked KF-update algebra (one particle block).
 
     The two O(nl^2)-per-particle products (CP = C P and the rank-ny
@@ -671,7 +676,7 @@ def _block_update_math(ny, jitter, C, P, e_ref, xl_ref, R_ref,
 
     # CP[b] = C[b] @ P[b] — batched MXU matmul (the N*nl*nl MACs)
     CP3 = jax.lax.dot_general(
-        C, P, (((2,), (1,)), ((0,), (0,))),
+        C.astype(P.dtype), P, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                              # [B, ny, nl]
 
@@ -714,7 +719,7 @@ def _block_update_math(ny, jitter, C, P, e_ref, xl_ref, R_ref,
         CP3, K3, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                              # [B, nl, nl]
-    P_out_ref[...] = (P - dd).astype(P_out_ref.dtype)
+    P_out_ref[...] = P - dd.astype(P.dtype)
 
 
 def _kernel_block(ny: int, jitter: float,
@@ -729,7 +734,7 @@ def _kernel_block(ny: int, jitter: float,
     the XLA path).
     """
     _block_update_math(
-        ny, jitter, C_ref[...], P_ref[...].astype(jnp.float32),
+        ny, jitter, C_ref[...], P_ref[...],
         e_ref, xl_ref, R_ref, P_out_ref, xl_out_ref, logw_ref, bad_ref,
     )
 
@@ -778,7 +783,7 @@ def _kernel_block_gather(ny: int, block: int, jitter: float,
             sems.at[slot, b],
         ).wait()
 
-    P = pbuf[slot].astype(jnp.float32)             # [B, nl, nl]
+    P = pbuf[slot]                                 # [B, nl, nl]
     _block_update_math(
         ny, jitter, C_ref[...], P,
         e_ref, xl_ref, R_ref, P_out_ref, xl_out_ref, logw_ref, bad_ref,

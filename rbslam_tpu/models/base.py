@@ -43,6 +43,11 @@ class DenseModel(NamedTuple):
     # the hook for fused Pallas basis-evaluation kernels that need the
     # full batch to tile (kernels/basis_eval.py)
     meas_jacobian_batch: Optional[Callable] = None
+    # optional whole-ensemble transition (key, xn [P, dn], u, dt, Q) ->
+    # xn' [P, dn]: one key and one batched noise draw instead of P
+    # per-particle key splits (threefry key derivation for 16k+ particles
+    # is measurable VPU work in the hot step)
+    dynamics_batch: Optional[Callable] = None
 
 
 class SparseModel(NamedTuple):

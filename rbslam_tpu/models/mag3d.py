@@ -58,6 +58,22 @@ def make_mag3d_model(
     n_lin = potential.n_lin
     c = jnp.zeros(3) if center is None else jnp.asarray(center)
 
+    def dynamics_batch(key, xn, u, dt, Q):
+        """Whole-ensemble transition: one [P, 6] noise draw (same
+        distribution as vmapped `dynamics`, cheaper key derivation) and
+        closed-form 3x3 Cholesky (XLA's lax.linalg.cholesky lowers tiny
+        factorizations to a slow blocked loop on TPU)."""
+        from ..ops.kalman import _chol_small_batched
+
+        n = xn.shape[0]
+        Lp = _chol_small_batched(dt * Q[None, :3, :3], 0.0)[0][0]
+        Lq = _chol_small_batched(dt * Q[None, 3:6, 3:6], 0.0)[0][0]
+        w = jax.random.normal(key, (n, 6), dtype=xn.dtype)
+        p_new = xn[:, _IPOS] + u[:3][None, :] + w[:, :3] @ Lp.T
+        dq = qmul(u[3:7][None, :], expq(w[:, 3:] @ Lq.T))
+        q_new = qmul(xn[:, _IQUAT], dq)
+        return jnp.concatenate([p_new, q_new], axis=-1)
+
     def dynamics(key, xn, u, dt, Q):
         xn_new, _ = dynamics_with_increment(key, xn, u, dt, Q)
         return xn_new
@@ -97,4 +113,5 @@ def make_mag3d_model(
         n_lin=n_lin,
         ny=3,
         meas_jacobian_batch=meas_jacobian_batch,
+        dynamics_batch=dynamics_batch,
     )

@@ -63,3 +63,27 @@ def test_chol_small_scale_aware_jitter():
     # the repaired factor reproduces S up to the added jitter scale
     rec = L @ jnp.swapaxes(L, -1, -2)
     assert bool(jnp.all(jnp.isfinite(rec)))
+
+
+def test_pallas_basis_cache_survives_multiple_jits():
+    """The per-basis constant cache must hold host arrays, not arrays
+    materialized inside one trace — two different jitted programs using
+    the same basis previously leaked a tracer (UnexpectedTracerError)."""
+    from rbslam_tpu.basis import hypercube_basis
+    from rbslam_tpu.kernels import grad_basis_pallas
+
+    basis = hypercube_basis(16, np.array([2.0, 2.0, 1.0]))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 3), minval=-1,
+                           maxval=1)
+
+    @jax.jit
+    def f1(x):
+        return grad_basis_pallas(basis, x).sum()
+
+    @jax.jit
+    def f2(x):
+        return grad_basis_pallas(basis, x).mean()
+
+    a = float(f1(x))
+    b = float(f2(x))
+    assert np.isfinite(a) and np.isfinite(b)
