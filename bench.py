@@ -287,7 +287,7 @@ def main():
                          "the reference semantics; <1 skips the P gather "
                          "on non-resampling steps)")
     ap.add_argument("--kf-kernel", default="block_gather",
-                    choices=["xla", "block", "block_gather"],
+                    choices=["xla", "block", "block_gather", "lowrank"],
                     help="KF measurement-update kernel: xla einsum chain, "
                          "blocked single-HBM-pass Pallas kernel, or the "
                          "gather-fused blocked kernel (default: the "
@@ -354,6 +354,8 @@ def main():
                     + (",fused" if args.fused else "")
                     + (",block-kf" if args.kf_kernel == "block" else "")
                     + (",gather-kf" if args.kf_kernel == "block_gather"
+                       else "")
+                    + (",lowrank-kf" if args.kf_kernel == "lowrank"
                        else "")
                     + (",pallas-basis" if args.pallas_basis else "")
                     + (",bf16-cov" if args.cov_dtype == "bfloat16" else "")

@@ -64,6 +64,11 @@ class RBPFConfig(NamedTuple):
     # log-weights in between; 1.0 = every step (reference semantics,
     # src/particleFilter.m:104-113)
     ess_threshold: float = 1.0
+    # rebase period r of the low-rank factored path (kf_kernel=
+    # "lowrank"): the covariance is carried as P_base - Wt^T Wt with
+    # ny*r factor rows, and P_base is materialized once every r steps —
+    # see kernels/kf_update.py::kf_update_lowrank
+    lowrank_period: int = 8
     # storage dtype for the per-particle covariance carry; "bfloat16"
     # halves the dominant HBM traffic (contractions and the fused
     # kernels still accumulate in f32). Fenced at n_lin > 256: the
@@ -265,6 +270,17 @@ def run_rbpf(
         and isinstance(model, DenseModel)
         and model.ny <= 3
     )
+    lowrank = (
+        not fused
+        and config.kf_kernel == "lowrank"
+        and isinstance(model, DenseModel)
+        and model.ny <= 3
+    )
+    if lowrank and config.ess_threshold < 1.0:
+        raise ValueError(
+            "kf_kernel='lowrank' requires ess_threshold=1.0 (the factored "
+            "carry assumes a resampling gather every step)"
+        )
     y = jnp.asarray(y)
     if mask is None:
         mask = jnp.isfinite(y).astype(y.dtype)
@@ -288,7 +304,7 @@ def run_rbpf(
                 "allow_bf16_large_nl=True to override deliberately."
             )
         P0 = P0.astype(jnp.dtype(config.cov_dtype))
-    if fused or block_gather:
+    if fused or block_gather or lowrank:
         # Mosaic manual-DMA row slices need lane-tile (128) alignment.
         # NOTE cost model: only the last (lane) axis physically pads to a
         # 128 multiple for free; the second-to-last axis sublane-pads to 8,
@@ -304,7 +320,7 @@ def run_rbpf(
 
     # --- step t = 0: no prediction (src/particleFilter.m:103) ---
     key, k0 = jax.random.split(key)
-    if fused or block_gather:
+    if fused or block_gather or lowrank:
         C0 = _pad_cols(_jacobian_batch(model, xn0), P0.shape[-1])
         xl1, P1, logw1, retried0_b = kalman_update_dense_batched(
             C0, P0, xl0, y[0], R, config.jitter, config.joseph
@@ -412,12 +428,118 @@ def run_rbpf(
         return (xn_new, xl_new, P_new, logw_nn, retries + retried), outs
 
     step_keys = jax.random.split(key, T - 1)
-    inputs = (step_keys, y[1:], mask[1:], dx, Q, dt)
     xn0c, xl1, P1, logw1n = constrain(xn0, xl1, P1, logw1n)
-    carry0 = (xn0c, xl1, P1, logw1n, retries0)
-    (xn_f, xl_f, P_f, logw_f, total_retries), outs = jax.lax.scan(
-        step, carry0, inputs
-    )
+    if lowrank:
+        # --- low-rank factored covariance scan ---------------------------
+        # Nested scans keep P_base out of the inner carry so it is never
+        # copied on non-rebase steps: the outer scan advances one rebase
+        # period r (inner scan over r phases, P_base closed over
+        # read-only), materializes P_base' = P_base[bidx] - Wt^T Wt once,
+        # and resets the factor. The T-1 steps split into n_super full
+        # periods plus one shorter remainder scan (same inner body) —
+        # no per-step validity masking, no lax.cond around the 512 MB
+        # carry. Semantics identical to the block_gather path
+        # (src/particleFilter.m:104-204), tested in tests/test_kernels.py.
+        from ..kernels.kf_update import kf_rebase, kf_update_lowrank
+
+        r = config.lowrank_period
+        ny = model.ny
+        nl_pad = P1.shape[-1]
+        rw = ny * r
+        n_super = (T - 1) // r
+        rem = (T - 1) - n_super * r
+
+        def lowrank_inner(P_base):
+            def inner(carry, inp):
+                xn, xl, Wt, bidx, logw_n, retries = carry
+                k, y_t, u, Q_t, dt_t, phase = inp
+                k_res, k_dyn = jax.random.split(k)
+                ai = _resample(k_res, jnp.exp(logw_n))
+                xn_a = jnp.take(xn, ai, axis=0)
+                xl_a = jnp.take(xl, ai, axis=0)
+                bidx_n = jnp.take(bidx, ai, axis=0)
+                Wt_g = jnp.take(Wt, ai, axis=0)
+                if getattr(model, "dynamics_batch", None) is not None:
+                    xn_new = model.dynamics_batch(k_dyn, xn_a, u, dt_t, Q_t)
+                else:
+                    dyn_keys = jax.random.split(k_dyn, n_p)
+                    xn_new = jax.vmap(
+                        lambda kk, x: model.dynamics(kk, x, u, dt_t, Q_t)
+                    )(dyn_keys, xn_a)
+                C = _pad_cols(_jacobian_batch(model, xn_new), nl_pad)
+                xl_new, wnew, logw, retried_b = kf_update_lowrank(
+                    bidx_n, C, xl_a, Wt_g, P_base, y_t, R, config.jitter
+                )
+                Wt_new = jax.lax.dynamic_update_slice(
+                    Wt_g, wnew.astype(Wt_g.dtype), (0, ny * phase, 0)
+                )
+                w_new, logw_nn, logz = logsumexp_normalize(logw)
+                iw_max = jnp.argmax(logw_nn)
+                outs = (
+                    xn_new,
+                    ai.astype(jnp.int32),
+                    logw_nn,
+                    xn_new[iw_max],
+                    jnp.sum(xn_new * w_new[:, None], axis=0),
+                    ess_from_logw(logw_nn),
+                    logz - jnp.log(n_p),
+                )
+                carry = (xn_new, xl_new, Wt_new, bidx_n, logw_nn,
+                         retries + jnp.sum(retried_b))
+                return carry, outs
+            return inner
+
+        def run_period(carry, inp_r, width):
+            xn, xl, P_base, logw_n, retries = carry
+            Wt0 = jnp.zeros((n_p, width, nl_pad), P_base.dtype)
+            bidx0 = jnp.arange(n_p, dtype=jnp.int32)
+            (xn, xl, Wt, bidx, logw_n, retries), outs = jax.lax.scan(
+                lowrank_inner(P_base),
+                (xn, xl, Wt0, bidx0, logw_n, retries), inp_r,
+            )
+            P_base = kf_rebase(bidx, Wt, P_base)
+            return (xn, xl, P_base, logw_n, retries), outs
+
+        carry = (xn0c, xl1, P1, logw1n, retries0)
+        outs_parts = []
+        if n_super > 0:
+            nmain = n_super * r
+            phases = jnp.broadcast_to(
+                jnp.arange(r, dtype=jnp.int32), (n_super, r)
+            )
+
+            def reshape_main(a):
+                return a[:nmain].reshape((n_super, r) + a.shape[1:])
+
+            inp_main = (
+                reshape_main(step_keys), reshape_main(y[1:]),
+                reshape_main(dx), reshape_main(Q), reshape_main(dt),
+                phases,
+            )
+            carry, outs_main = jax.lax.scan(
+                lambda c, i: run_period(c, i, rw), carry, inp_main
+            )
+            outs_parts.append(jax.tree_util.tree_map(
+                lambda a: a.reshape((nmain,) + a.shape[2:]), outs_main
+            ))
+        if rem > 0:
+            s = n_super * r
+            inp_rem = (
+                step_keys[s:], y[1 + s:], dx[s:], Q[s:], dt[s:],
+                jnp.arange(rem, dtype=jnp.int32),
+            )
+            carry, outs_rem = run_period(carry, inp_rem, ny * rem)
+            outs_parts.append(outs_rem)
+        xn_f, xl_f, P_f, logw_f, total_retries = carry
+        outs = jax.tree_util.tree_map(
+            lambda *a: jnp.concatenate(a, axis=0), *outs_parts
+        )
+    else:
+        inputs = (step_keys, y[1:], mask[1:], dx, Q, dt)
+        carry0 = (xn0c, xl1, P1, logw1n, retries0)
+        (xn_f, xl_f, P_f, logw_f, total_retries), outs = jax.lax.scan(
+            step, carry0, inputs
+        )
     xn_hist, ancestors, logw_hist, traj_max_t, traj_mean_t, ess_t, logz_t = outs
 
     # prepend step-0 outputs
@@ -434,7 +556,7 @@ def run_rbpf(
     xn_hist_full = jnp.concatenate([xn0[None], xn_hist], axis=0)  # [T, P, dn]
     xn_traj = reconstruct_trajectories(xn_hist_full, ancestors)
 
-    if (fused or block_gather) and xl_f.shape[-1] != n_lin:
+    if (fused or block_gather or lowrank) and xl_f.shape[-1] != n_lin:
         xl_f = xl_f[..., :n_lin]
         P_f = P_f[..., :n_lin, :n_lin]
     P_f = P_f.astype(jnp.float32)

@@ -714,9 +714,14 @@ def _block_update_math(ny, jitter, C, P, e_ref, xl_ref, R_ref,
     xl_out_ref[...] = xl_ref[...] + xl_step
 
     # covariance downdate P'[b] = P[b] - CP[b]' K3[b] — second batched
-    # MXU matmul (contract the ny axis)
+    # MXU matmul (contract the ny axis). This is the only [nl, nl]-output
+    # matmul in the kernel — the MXU streams nl rows per particle for it,
+    # so it dominates the kernel's cycle count. Feed it operands in the
+    # STORAGE dtype: with bf16 covariance the MXU runs native-bf16 passes
+    # (f32 operands cost 3x passes via bf16x3), and the extra rounding is
+    # below the bf16 quantization of the P' store that follows.
     dd = jax.lax.dot_general(
-        CP3, K3, (((1,), (1,)), ((0,), (0,))),
+        CP3.astype(P.dtype), K3.astype(P.dtype), (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                              # [B, nl, nl]
     P_out_ref[...] = P - dd.astype(P.dtype)
@@ -982,3 +987,264 @@ def fused_gather_kf_update(ai, C, xl_gathered, P_all, y, R,
         ny, nl, block, jitter, interpret,
     )
     return xl_new, P_new, logw[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Low-rank factored filter update: P = P_base - Wt^T Wt
+#
+# The blocked kernels above are bound by the [nl, nl] covariance
+# downdate: the MXU streams nl rows per particle to produce dd and the
+# pipeline writes nl x nl back to HBM every step (measured: the block
+# kernel runs ~2x above the P copy floor, scripts/profile_kernel_scan.py).
+# But the KF downdate is additive rank-ny per step
+# (src/particleFilter.m:194-198):
+#
+#     P_t = P_base - sum_tau U_tau S_tau^-1 U_tau^T = P_base - Wt^T Wt,
+#     Wt rows at step tau: Y_tau = L_tau^-1 C_tau P_tau   (S = L L^T)
+#
+# so the filter can carry the FACTOR Wt [rw, nl] (rw = ny * rebase
+# period) instead of P, and materialize P ("rebase") only every r steps:
+# per step the kernel reads the ancestor's P_base row (read-only between
+# rebases -> gathered by composed base indices, never rewritten), reads
+# the small factor, and writes ny new factor rows — ~2x less HBM traffic
+# and no [nl, nl]-output matmul except at rebases. All small-ny algebra
+# here is mask-assembled scalar math on [B, 1, 1] tensors (no sublane
+# slicing, no reshapes — see _block_update_math's layout notes).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_gather_cp(ny: int, block: int,
+                      bidx_ref, C_ref,
+                      P_base_hbm,
+                      cp_ref,
+                      pbuf, sems):
+    """Gather-fused CP contraction: CP[b] = C[b] @ P_base[bidx[b]].
+
+    The ONLY heavy op of the factored update — the per-particle ancestor
+    row rides lookahead double-buffered DMAs (P_base is read-only between
+    rebases, so nothing is ever written back), and the kernel emits just
+    the [ny, nl] contraction. Measured at the P read-bandwidth floor
+    (scripts/profile_gather_cp.py: 1.11 ms/step at N=16384, nl=128 —
+    equal to XLA's batched matmul WITHOUT any gather, and bit-exact
+    against it). All remaining small-ny algebra runs in XLA, where the
+    batched [N, ny, *] ops fuse well — the earlier monolithic kernel
+    that kept the full update in Mosaic ran 3x slower than this split.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    def issue(block_idx, slot):
+        base = block_idx * block
+        for b in range(block):
+            pltpu.make_async_copy(
+                P_base_hbm.at[bidx_ref[base + b]], pbuf.at[slot, b],
+                sems.at[slot, b],
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        issue(i + 1, jax.lax.rem(i + 1, 2))
+
+    for b in range(block):
+        pltpu.make_async_copy(
+            P_base_hbm.at[bidx_ref[i * block + b]], pbuf.at[slot, b],
+            sems.at[slot, b],
+        ).wait()
+
+    P = pbuf[slot]
+    cp_ref[...] = jax.lax.dot_general(
+        C_ref[...].astype(P.dtype), P, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ny", "nl", "block", "interpret")
+)
+def _gather_cp_call(bidx, C, P_base, ny, nl, block, interpret):
+    n = C.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((block, ny, nl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # P_base stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((block, ny, nl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block, nl, nl), P_base.dtype),
+            pltpu.SemaphoreType.DMA((2, block)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_gather_cp, ny, block),
+        out_shape=[jax.ShapeDtypeStruct((n, ny, nl), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bidx, C, P_base)[0]
+
+
+def kf_update_lowrank(bidx, C, xl_gathered, Wt_gathered, P_base, y, R,
+                      jitter: float = 1e-3, block: int = 64):
+    """Factored dense KF update: covariance P = P_base - Wt^T Wt.
+
+    bidx [N] int32 ancestor-composed base indices into P_base; C
+    [N, ny, nl] Jacobians at the propagated particles; xl_gathered
+    [N, nl]; Wt_gathered [N, rw, nl] accumulated factor rows (already
+    resampled; zero rows are inactive and contribute nothing); P_base
+    [N, nl, nl] the last rebased covariances (read-only between rebases).
+    Returns (xl', Wnew [N, ny, nl] f32, logw, retried) where
+    Wnew = L^-1 C P are the step's whitened factor rows (Wnew^T Wnew is
+    exactly the covariance downdate) to place into Wt — engines/rbpf.py
+    does the dynamic_update_slice. Hybrid split: the Pallas kernel
+    performs only the gather-fused CP contraction (read floor); the
+    small-ny algebra (closed-form Cholesky, weights, gain) runs in XLA
+    (ops/kalman.py helpers). Algebra identical to kf_update_block_gather
+    up to fp ordering; nl must be lane-aligned, ny <= 3.
+    """
+    from ..ops.kalman import (
+        _chol_small_batched,
+        _Li_from_chol_small_batched,
+        _tri_solve_small_batched,
+    )
+
+    n, ny, nl = C.shape
+    if ny > 3:
+        raise ValueError("lowrank KF kernel supports ny <= 3")
+    if nl % 128:
+        raise ValueError(f"nl={nl} must be a multiple of 128 (pad upstream)")
+    while block > 1 and n % block:
+        block //= 2
+    bytes_blk = block * nl * nl
+    while block > 1 and bytes_blk * 2 * P_base.dtype.itemsize \
+            > 10 * 1024 * 1024:
+        block //= 2
+        bytes_blk //= 2
+    interpret = jax.default_backend() != "tpu"
+    C = C.astype(jnp.float32)
+    CPb = _gather_cp_call(bidx.astype(jnp.int32), C, P_base, ny, nl,
+                          block, interpret)
+    Wf = Wt_gathered
+    CWt = jnp.einsum("pij,prj->pir", C.astype(Wf.dtype), Wf,
+                     preferred_element_type=jnp.float32)
+    CP = CPb - jnp.einsum("pir,prj->pij", CWt.astype(Wf.dtype), Wf,
+                          preferred_element_type=jnp.float32)
+    S = jnp.einsum("pij,pkj->pik", CP, C,
+                   preferred_element_type=jnp.float32) \
+        + jnp.asarray(R, jnp.float32)[None]
+    L, bad = _chol_small_batched(S, jitter)
+    e = y[None, :].astype(jnp.float32) \
+        - jnp.einsum("pij,pj->pi", C, xl_gathered.astype(jnp.float32))
+    z = _tri_solve_small_batched(L, e)             # [N, ny]
+    logw = (
+        -0.5 * jnp.sum(z * z, axis=-1)
+        - jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+        - 0.5 * ny * _LOG2PI
+    )
+    Li = _Li_from_chol_small_batched(L)
+    Wnew = jnp.einsum("pij,pjk->pik", Li, CP,
+                      preferred_element_type=jnp.float32)
+    xl_new = xl_gathered.astype(jnp.float32) \
+        + jnp.einsum("pi,pik->pk", z, Wnew,
+                     preferred_element_type=jnp.float32)
+    return xl_new, Wnew, logw, bad
+
+
+def _kernel_rebase(block: int,
+                   bidx_ref, Wt_ref,
+                   P_base_hbm,
+                   P_out_ref,
+                   pbuf, sems):
+    """Materialize P' = P_base[bidx] - Wt^T Wt (the once-per-r-steps
+    rebase; the [nl, nl]-output matmul the per-step path avoids)."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    def issue(block_idx, slot):
+        base = block_idx * block
+        for b in range(block):
+            pltpu.make_async_copy(
+                P_base_hbm.at[bidx_ref[base + b]], pbuf.at[slot, b],
+                sems.at[slot, b],
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        issue(i + 1, jax.lax.rem(i + 1, 2))
+
+    for b in range(block):
+        pltpu.make_async_copy(
+            P_base_hbm.at[bidx_ref[i * block + b]], pbuf.at[slot, b],
+            sems.at[slot, b],
+        ).wait()
+
+    P = pbuf[slot]
+    Wt = Wt_ref[...]
+    dd = jax.lax.dot_general(
+        Wt, Wt, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [B, nl, nl]
+    P_out_ref[...] = P - dd.astype(P.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nl", "rw", "block", "interpret")
+)
+def _rebase_call(bidx, Wt, P_base, nl, rw, block, interpret):
+    n = Wt.shape[0]
+    grid = (n // block,)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, rw, nl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, nl, nl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block, nl, nl), P_base.dtype),
+            pltpu.SemaphoreType.DMA((2, block)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_rebase, block),
+        out_shape=[jax.ShapeDtypeStruct((n, nl, nl), P_base.dtype)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bidx, Wt, P_base)
+    return out[0]
+
+
+def kf_rebase(bidx, Wt, P_base, block: int = 32):
+    """P' [N, nl, nl] = P_base[bidx] - Wt^T Wt (storage dtype)."""
+    n, rw, nl = Wt.shape
+    while block > 1 and n % block:
+        block //= 2
+    bytes_blk = block * nl * nl
+    while block > 1 and bytes_blk * (4 * P_base.dtype.itemsize + 8) \
+            > 13 * 1024 * 1024:
+        block //= 2
+        bytes_blk //= 2
+    interpret = jax.default_backend() != "tpu"
+    return _rebase_call(bidx.astype(jnp.int32), Wt, P_base, nl, rw,
+                        block, interpret)

@@ -175,8 +175,8 @@ def _tri_solve_small_batched(L, b):
     return jnp.stack(vs, axis=-1)
 
 
-def _inv_from_chol_small_batched(L):
-    """S^-1 = L^-T L^-1, batched, ny <= 3 (elementwise)."""
+def _Li_from_chol_small_batched(L):
+    """L^-1 (lower), batched, ny <= 3 (elementwise)."""
     ny = L.shape[-1]
     Li = jnp.zeros_like(L)
     Li = Li.at[:, 0, 0].set(1.0 / L[:, 0, 0])
@@ -190,6 +190,12 @@ def _inv_from_chol_small_batched(L):
             -(L[:, 2, 0] * Li[:, 0, 0] + L[:, 2, 1] * Li[:, 1, 0])
             / L[:, 2, 2]
         )
+    return Li
+
+
+def _inv_from_chol_small_batched(L):
+    """S^-1 = L^-T L^-1, batched, ny <= 3 (elementwise)."""
+    Li = _Li_from_chol_small_batched(L)
     return jnp.einsum("pki,pkj->pij", Li, Li)
 
 

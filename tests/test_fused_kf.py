@@ -212,3 +212,88 @@ def test_rbpf_block_gather_equivalent():
     np.testing.assert_allclose(
         np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-3
     )
+
+
+@pytest.mark.parametrize("ny", [1, 2, 3])
+def test_lowrank_kernel_matches_reference(ny):
+    """Factored update (P = P_base - Wt^T Wt) == XLA update on the
+    materialized covariance, and kf_rebase reproduces the XLA P'."""
+    from rbslam_tpu.kernels.kf_update import kf_rebase, kf_update_lowrank
+
+    key = jax.random.PRNGKey(3)
+    N, nl, rw = 32, 128, 8 * ny
+    ks = jax.random.split(key, 6)
+    A = jax.random.normal(ks[0], (N, nl, nl)) * 0.2
+    P_base = jnp.einsum("pij,pkj->pik", A, A) + 2.0 * jnp.eye(nl)
+    Wt = jnp.zeros((N, rw, nl)).at[:, :2 * ny].set(
+        0.1 * jax.random.normal(ks[1], (N, 2 * ny, nl))
+    )
+    C = jax.random.normal(ks[2], (N, ny, nl)) * 0.3
+    xl = jax.random.normal(ks[3], (N, nl))
+    y = jax.random.normal(ks[4], (ny,))
+    R = 0.5 * jnp.eye(ny)
+    bidx = jax.random.randint(ks[5], (N,), 0, N)
+
+    P_eff = jnp.take(P_base, bidx, 0) - jnp.einsum("pri,prj->pij", Wt, Wt)
+    ref = kalman_update_dense_batched(C, P_eff, xl, y, R, 1e-3, False, False)
+    xl_new, wnew, logw, bad = kf_update_lowrank(bidx, C, xl, Wt, P_base, y, R)
+    np.testing.assert_allclose(xl_new, ref[0], atol=5e-2)
+    np.testing.assert_allclose(logw, ref[2], atol=5e-2)
+    assert not bool(bad.any())
+
+    Wt2 = jax.lax.dynamic_update_slice(Wt, wnew, (0, 2 * ny, 0))
+    P_new = kf_rebase(bidx, Wt2, P_base)
+    np.testing.assert_allclose(
+        np.asarray(P_new), np.asarray(ref[1]), atol=5e-2
+    )
+
+
+def test_lowrank_kernel_jitter_retry():
+    """A non-PD effective S triggers the same scale-aware jitter repair
+    and bad flag as the other kernels."""
+    from rbslam_tpu.kernels.kf_update import kf_update_lowrank
+
+    N, ny, nl, rw = 8, 3, 128, 24
+    # P_base = 0 and R = 0 -> S = 0: every particle must be flagged
+    P_base = jnp.zeros((N, nl, nl))
+    Wt = jnp.zeros((N, rw, nl))
+    C = jax.random.normal(jax.random.PRNGKey(0), (N, ny, nl)) * 0.3
+    xl = jnp.zeros((N, nl))
+    y = jnp.ones((ny,))
+    R = jnp.zeros((ny, ny))
+    xl_new, wnew, logw, bad = kf_update_lowrank(
+        jnp.arange(N), C, xl, Wt, P_base, y, R
+    )
+    assert bool(bad.all())
+    assert np.isfinite(np.asarray(logw)).all()
+
+
+def test_rbpf_lowrank_equivalent():
+    """Full filter run: kf_kernel='lowrank' == 'block_gather' (both pad
+    n_lin to 128; the factored path materializes P only at rebases).
+    T=12 spans one full rebase period (r=8) plus a remainder scan."""
+    data, model, basis, center, k, Q = _radio_setup()
+    base = dict(n_particles=16, resampling="systematic",
+                symmetrize_cov=False)
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    res_a = run_rbpf(
+        jax.random.PRNGKey(0), *args,
+        RBPFConfig(**base, kf_kernel="block_gather"),
+    )
+    res_b = run_rbpf(
+        jax.random.PRNGKey(0), *args,
+        RBPFConfig(**base, kf_kernel="lowrank"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.traj_mean), np.asarray(res_b.traj_mean), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.P_mean), np.asarray(res_b.P_mean), atol=5e-3
+    )
