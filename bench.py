@@ -56,8 +56,9 @@ def _build_problem(m_basis, n_particles, n_steps, seed=1,
 
 
 def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
-               fused=False, pallas_basis=False, cov_dtype="float32",
-               symmetrize=False, ess_threshold=1.0, kf_kernel="xla"):
+               pallas_basis=False, cov_dtype="float32",
+               symmetrize=False, ess_threshold=1.0, kf_kernel="xla",
+               lowrank_period=8):
     import jax
     import jax.numpy as jnp
 
@@ -67,9 +68,9 @@ def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
         m_basis, n_particles, n_steps, pallas_basis=pallas_basis
     )
     cfg = RBPFConfig(n_particles=n_particles, resampling="systematic",
-                     use_fused_kf=fused, cov_dtype=cov_dtype,
+                     cov_dtype=cov_dtype,
                      symmetrize_cov=symmetrize, ess_threshold=ess_threshold,
-                     kf_kernel=kf_kernel)
+                     kf_kernel=kf_kernel, lowrank_period=lowrank_period)
     args = (
         model, data.dx, data.y, data.init_state,
         jnp.zeros(potential.n_lin), jnp.diag(k), Q, R, 0.01, cfg,
@@ -263,10 +264,6 @@ def main():
     # model dims is the TPU-native move; m=128 would pad n_lin 131->256)
     ap.add_argument("--basis", type=int, default=125)
     ap.add_argument("--steps", type=int, default=192)
-    ap.add_argument("--fused", dest="fused", action="store_true",
-                    default=False,
-                    help="Pallas fused gather+KF update kernels")
-    ap.add_argument("--no-fused", dest="fused", action="store_false")
     # measured fastest on v5e (RESULTS.md): XLA path + bf16 covariance
     # + closed-form small-ny algebra
     ap.add_argument("--cov-dtype", default="bfloat16",
@@ -287,17 +284,22 @@ def main():
                          "the reference semantics; <1 skips the P gather "
                          "on non-resampling steps)")
     ap.add_argument("--kf-kernel", default="block_gather",
-                    choices=["xla", "block", "block_gather", "lowrank"],
-                    help="KF measurement-update kernel: xla einsum chain, "
-                         "blocked single-HBM-pass Pallas kernel, or the "
-                         "gather-fused blocked kernel (default: the "
+                    choices=["xla", "block_gather", "lowrank"],
+                    help="KF measurement-update kernel: xla einsum chain; "
+                         "block_gather = gather-fused blocked kernel (the "
                          "resampling gather of P rides lookahead DMAs — "
                          "one total HBM read+write of the covariance "
-                         "ensemble per step, measured 1.4x the XLA "
-                         "gather+update at the bench config)")
+                         "ensemble per step); lowrank = factored carry "
+                         "P = P_base - Wt'Wt, ny rows written per step "
+                         "(kernels/kf_update.py)")
+    ap.add_argument("--lowrank-period", type=int, default=8,
+                    help="rebase period r for --kf-kernel lowrank")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace of the timed "
                          "region to LOGDIR (view with XProf)")
+    ap.add_argument("--skip-pf", action="store_true",
+                    help="skip the terrain-PF regression line (faster "
+                         "iteration when tuning the RBPF kernel)")
     args = ap.parse_args()
 
     if args.quick:
@@ -335,9 +337,10 @@ def main():
     with ctx:
         throughput, elapsed, T = bench_rbpf(
             m_basis, n_particles, n_steps,
-            fused=args.fused, pallas_basis=args.pallas_basis,
+            pallas_basis=args.pallas_basis,
             cov_dtype=args.cov_dtype, symmetrize=args.symmetrize,
             ess_threshold=args.ess, kf_kernel=args.kf_kernel,
+            lowrank_period=args.lowrank_period,
         )
 
     # baseline cost measured at small particle count, cost/particle-step
@@ -345,22 +348,63 @@ def main():
     base_pp = numpy_baseline_best(m_basis, min(n_particles, 64))
     baseline_throughput = 1.0 / base_pp
 
+    # HBM roofline fraction of the RBPF step: the information-theoretic
+    # minimum traffic is one read + one write of the covariance ensemble
+    # per step (src/particleFilter.m:104-204 semantics); achieved
+    # fraction = min-bytes/step / (step time x peak BW). v5e: 819 GB/s.
+    n_lin_pad = m_basis + 3
+    if args.kf_kernel in ("block_gather", "lowrank"):
+        n_lin_pad = ((n_lin_pad + 127) // 128) * 128
+    itemsize = 2 if args.cov_dtype == "bfloat16" else 4
+    min_bytes = 2 * n_particles * n_lin_pad * n_lin_pad * itemsize
+    step_s = elapsed / T
+    hbm_frac = (min_bytes / step_s) / 819e9
+
+    # regression-track the 1M-particle terrain PF (the no-covariance
+    # north-star scaling path) alongside the flagship metric; keep the
+    # RBPF line LAST (the driver parses the final JSON line)
+    extras = {
+        "rbpf_hbm_roofline_fraction": round(hbm_frac, 3),
+        "rbpf_step_ms": round(step_s * 1e3, 3),
+    }
+    if not args.skip_pf:
+        n_pf = 4096 if args.quick else 1_048_576
+        pf_throughput, _ = bench_pf(n_pf, 32 if args.quick else 128)
+        extras["terrain_pf_particle_steps_per_s"] = round(pf_throughput, 1)
+        extras["terrain_pf_n_particles"] = n_pf
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"terrain_pf_particle_steps_per_s[N_P={n_pf}]"
+                    ),
+                    "value": round(pf_throughput, 1),
+                    "unit": "particle-steps/s",
+                    "vs_baseline": None,
+                }
+            )
+        )
+    try:
+        with open("BENCH_EXTRA.json", "w") as f:
+            json.dump(extras, f, indent=1)
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {
                 "metric": (
                     f"rbpf_dense_mag_particle_steps_per_s"
                     f"[N_P={n_particles},m={m_basis}+3,T={T}"
-                    + (",fused" if args.fused else "")
-                    + (",block-kf" if args.kf_kernel == "block" else "")
                     + (",gather-kf" if args.kf_kernel == "block_gather"
                        else "")
-                    + (",lowrank-kf" if args.kf_kernel == "lowrank"
-                       else "")
+                    + (f",lowrank-kf-r{args.lowrank_period}"
+                       if args.kf_kernel == "lowrank" else "")
                     + (",pallas-basis" if args.pallas_basis else "")
                     + (",bf16-cov" if args.cov_dtype == "bfloat16" else "")
                     + ("" if args.symmetrize else ",no-sym")
                     + (f",ess={args.ess}" if args.ess < 1.0 else "")
+                    + f",hbm={hbm_frac:.2f}"
                     + "]"
                 ),
                 "value": round(throughput, 1),

@@ -48,17 +48,15 @@ class RBPFConfig(NamedTuple):
     jitter: float = 1e-3              # src/particleFilter.m:89
     joseph: bool = False
     store_trajectories: bool = True
-    # fuse the resampling gather of P with the KF update via the Pallas
-    # kernels (kernels/kf_update.py); dense models with ny <= 3 only
-    use_fused_kf: bool = False
-    # KF update kernel: "xla" (ops/kalman.py einsum chain), "block"
-    # (Pallas single-HBM-pass blocked update after an XLA gather —
-    # kernels/kf_update.py::kf_update_block), or "block_gather" (the
-    # blocked update with the resampling gather of P fused in via
-    # lookahead DMAs — one total HBM read + write of the covariance
-    # ensemble per step; kernels/kf_update.py::kf_update_block_gather).
-    # Dense ny <= 3 only. `use_fused_kf=True` overrides with the
-    # per-particle manual-DMA 1-pass kernel (slower; kept for the record).
+    # KF update kernel: "xla" (ops/kalman.py einsum chain),
+    # "block_gather" (Pallas blocked update with the resampling gather
+    # of P fused in via lookahead DMAs — one total HBM read + write of
+    # the covariance ensemble per step;
+    # kernels/kf_update.py::kf_update_block_gather), or "lowrank" (the
+    # factored carry P = P_base - Wt^T Wt that writes only ny factor
+    # rows per step; kernels/kf_update.py::kf_update_lowrank). Dense
+    # ny <= 3 only. Superseded variants (1pass/2pass/block) were
+    # measured slower and removed — NEGATIVE_RESULTS.md has the record.
     kf_kernel: str = "xla"
     # resample only when ESS <= ess_threshold * N, accumulating
     # log-weights in between; 1.0 = every step (reference semantics,
@@ -77,9 +75,18 @@ class RBPFConfig(NamedTuple):
     # at n_lin=515, RESULTS.md); set allow_bf16_large_nl to override.
     cov_dtype: str = "float32"
     allow_bf16_large_nl: bool = False
+    # distributed resampling mode under a mesh (parallel/resampling.py):
+    # "replicated_cdf" / "prefix" are exact (index-for-index equal to
+    # the single-device resampler); "local" is the O(1)-collective
+    # island mode — children stay on their shard and carry the shard's
+    # aggregate weight instead of the uniform reset (unbiased, not
+    # draw-for-draw equal)
+    dist_resampling: str = "replicated_cdf"
     # re-symmetrize P after every downdate (an extra HBM pass; the
     # reference filter does not, src/particleFilter.m:198 — fp drift is
-    # surfaced by the chol_retries counter)
+    # surfaced by the chol_retries counter). XLA path only: the Pallas
+    # kernel paths never symmetrize (their one-HBM-pass contract has no
+    # room for the extra transpose pass) and ignore this flag.
     symmetrize_cov: bool = True
 
 
@@ -181,11 +188,57 @@ def _measurement_update(model, xn, xl, P, y_t, R, mask_t, jitter, joseph,
     return xl_new, P_new, logw, jnp.sum(retried)
 
 
+def run_rbpf(
+    key,
+    model: Union[DenseModel, SparseModel],
+    dx,
+    y,
+    x0_nonlin,
+    x0_lin,
+    P0_lin,
+    Q,
+    R,
+    dt,
+    config: RBPFConfig,
+    mask: Optional[jnp.ndarray] = None,
+    mesh=None,
+) -> RBPFResult:
+    """Run the RBPF (see :func:`_run_rbpf` for the full contract).
+
+    This thin eager wrapper validates, on CONCRETE inputs only, a
+    contract the jitted body cannot check: the Pallas kernel paths
+    (kf_kernel != "xla") have no observation-mask
+    support, so NaN-masked dense measurements (measurement.m:56
+    semantics) would silently enter the update as y=0 observations.
+    When y/mask are tracers (call sites inside an outer jit) the check
+    is skipped — those callers own their masks.
+    """
+    kernel_path = config.kf_kernel != "xla"
+    if kernel_path and not isinstance(y, jax.core.Tracer):
+        if mask is not None and not isinstance(mask, jax.core.Tracer):
+            if not bool(jnp.all(jnp.asarray(mask) != 0)):
+                raise ValueError(
+                    "Pallas KF kernel paths do not support masked "
+                    "observations; use kf_kernel='xla' (ops/kalman "
+                    "masked path) for NaN/masked y"
+                )
+        elif mask is None and not bool(jnp.all(jnp.isfinite(y))):
+            raise ValueError(
+                "y contains NaN but a Pallas KF kernel path is "
+                "selected; NaN rows are only masked correctly on "
+                "kf_kernel='xla' (ops/kalman.kalman_update_masked)"
+            )
+    return _run_rbpf(
+        key, model, dx, y, x0_nonlin, x0_lin, P0_lin, Q, R, dt, config,
+        mask, mesh,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("model", "config", "mesh"),
 )
-def run_rbpf(
+def _run_rbpf(
     key,
     model: Union[DenseModel, SparseModel],
     dx,
@@ -215,19 +268,22 @@ def run_rbpf(
     sharded resampler (parallel/resampling.py), and the crossing-particle
     state exchange rides XLA's partitioned gather. Results equal the
     unsharded run (tests/test_sharding.py). The Pallas kernel paths
-    (use_fused_kf / kf_kernel != "xla") are single-device and rejected
+    (kf_kernel != "xla") are single-device and rejected
     under a mesh.
     """
     n_p = config.n_particles
     T = y.shape[0]
     if mesh is not None:
-        if config.use_fused_kf or config.kf_kernel != "xla":
+        if config.kf_kernel != "xla":
             raise ValueError(
                 "Pallas KF kernels are single-device; use kf_kernel='xla' "
                 "with mesh"
             )
         from ..parallel.mesh import particle_map_sharding, particle_sharding
-        from ..parallel.resampling import sharded_resample_indices
+        from ..parallel.resampling import (
+            sharded_resample_indices,
+            sharded_resample_local,
+        )
 
         _shard_map_ax = mesh.shape.get("map", 1) > 1
         _P_sh = (
@@ -245,36 +301,41 @@ def run_rbpf(
                 _wsc(logw, particle_sharding(mesh, 1)),
             )
 
-        def _resample(k, w):
-            return sharded_resample_indices(k, w, mesh, config.resampling)
+        if config.dist_resampling == "local":
+            def _resample(k, w):
+                return sharded_resample_local(k, w, mesh, config.resampling)
+        else:
+            def _resample(k, w):
+                ai = sharded_resample_indices(
+                    k, w, mesh, config.resampling, config.dist_resampling
+                )
+                return ai, jnp.full((n_p,), -jnp.log(n_p), w.dtype)
     else:
         def constrain(xn, xl, P, logw):
             return xn, xl, P, logw
 
         def _resample(k, w):
-            return resample_indices(k, w, n_p, config.resampling)
-    fused = (
-        config.use_fused_kf
-        and isinstance(model, DenseModel)
-        and model.ny <= 3
-    )
-    blocked = (
-        not fused
-        and config.kf_kernel == "block"
-        and isinstance(model, DenseModel)
-        and model.ny <= 3
-    )
+            ai = resample_indices(k, w, n_p, config.resampling)
+            return ai, jnp.full((n_p,), -jnp.log(n_p), w.dtype)
+    if config.kf_kernel not in ("xla", "block_gather", "lowrank"):
+        raise ValueError(
+            f"unknown kf_kernel {config.kf_kernel!r}: expected 'xla', "
+            "'block_gather' or 'lowrank' (superseded variants were "
+            "removed — NEGATIVE_RESULTS.md)"
+        )
     block_gather = (
-        not fused
-        and config.kf_kernel == "block_gather"
+        config.kf_kernel == "block_gather"
         and isinstance(model, DenseModel)
         and model.ny <= 3
     )
     lowrank = (
-        not fused
-        and config.kf_kernel == "lowrank"
+        config.kf_kernel == "lowrank"
         and isinstance(model, DenseModel)
         and model.ny <= 3
+        # T == 1 has zero scan steps: route through the generic scan
+        # (which never invokes a kernel at length 0) instead of the
+        # nested-period machinery, whose empty outs_parts cannot concat
+        and T > 1
     )
     if lowrank and config.ess_threshold < 1.0:
         raise ValueError(
@@ -304,7 +365,7 @@ def run_rbpf(
                 "allow_bf16_large_nl=True to override deliberately."
             )
         P0 = P0.astype(jnp.dtype(config.cov_dtype))
-    if fused or block_gather or lowrank:
+    if block_gather or lowrank:
         # Mosaic manual-DMA row slices need lane-tile (128) alignment.
         # NOTE cost model: only the last (lane) axis physically pads to a
         # 128 multiple for free; the second-to-last axis sublane-pads to 8,
@@ -320,7 +381,7 @@ def run_rbpf(
 
     # --- step t = 0: no prediction (src/particleFilter.m:103) ---
     key, k0 = jax.random.split(key)
-    if fused or block_gather or lowrank:
+    if block_gather or lowrank:
         C0 = _pad_cols(_jacobian_batch(model, xn0), P0.shape[-1])
         xl1, P1, logw1, retried0_b = kalman_update_dense_batched(
             C0, P0, xl0, y[0], R, config.jitter, config.joseph
@@ -340,8 +401,7 @@ def run_rbpf(
 
         w = jnp.exp(logw_n)
         if config.ess_threshold >= 1.0:
-            ai = _resample(k_res, w)
-            logw_prev = jnp.full_like(logw_n, -jnp.log(n_p))
+            ai, logw_prev = _resample(k_res, w)
             do_res = None
         else:
             ess_prev = ess_from_logw(logw_n)
@@ -349,14 +409,11 @@ def run_rbpf(
             ident = jnp.arange(n_p, dtype=jnp.int32)
             # single-branch cond: skip the cumsum+searchsorted on
             # non-resampling steps
-            ai = jax.lax.cond(
+            ai, logw_prev = jax.lax.cond(
                 do_res,
                 lambda ww: _resample(k_res, ww),
-                lambda ww: ident,
+                lambda ww: (ident, logw_n),
                 w,
-            )
-            logw_prev = jnp.where(
-                do_res, jnp.full_like(logw_n, -jnp.log(n_p)), logw_n
             )
         xn_anc = jnp.take(xn, ai, axis=0)
         xl_anc = jnp.take(xl, ai, axis=0)
@@ -369,15 +426,7 @@ def run_rbpf(
                 lambda kk, x: model.dynamics(kk, x, u, dt_t, Q_t)
             )(dyn_keys, xn_anc)
 
-        if fused:
-            from ..kernels.kf_update import fused_gather_kf_update_1pass
-
-            C = _pad_cols(_jacobian_batch(model, xn_new), P.shape[-1])
-            xl_new, P_new, logw, retried_b = fused_gather_kf_update_1pass(
-                ai, C, xl_anc, P, y_t, R, config.jitter
-            )
-            retried = jnp.sum(retried_b)
-        elif block_gather:
+        if block_gather:
             from ..kernels.kf_update import kf_update_block_gather
 
             C = _pad_cols(_jacobian_batch(model, xn_new), P.shape[-1])
@@ -396,19 +445,10 @@ def run_rbpf(
                     do_res, lambda p: jnp.take(p, ai, axis=0),
                     lambda p: p, P,
                 )
-            if blocked:
-                from ..kernels.kf_update import kf_update_block
-
-                C = _jacobian_batch(model, xn_new)
-                xl_new, P_new, logw, retried_b = kf_update_block(
-                    C, P_anc, xl_anc, y_t, R, config.jitter
-                )
-                retried = jnp.sum(retried_b)
-            else:
-                xl_new, P_new, logw, retried = _measurement_update(
-                    model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
-                    config.jitter, config.joseph, config.symmetrize_cov,
-                )
+            xl_new, P_new, logw, retried = _measurement_update(
+                model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
+                config.jitter, config.joseph, config.symmetrize_cov,
+            )
         logw = logw_prev + jnp.log(n_p) + logw  # accumulate (no-op at thr=1)
         w_new, logw_nn, logz = logsumexp_normalize(logw)
         xn_new, xl_new, P_new, logw_nn = constrain(
@@ -454,7 +494,7 @@ def run_rbpf(
                 xn, xl, Wt, bidx, logw_n, retries = carry
                 k, y_t, u, Q_t, dt_t, phase = inp
                 k_res, k_dyn = jax.random.split(k)
-                ai = _resample(k_res, jnp.exp(logw_n))
+                ai, _ = _resample(k_res, jnp.exp(logw_n))
                 xn_a = jnp.take(xn, ai, axis=0)
                 xl_a = jnp.take(xl, ai, axis=0)
                 bidx_n = jnp.take(bidx, ai, axis=0)
@@ -556,7 +596,7 @@ def run_rbpf(
     xn_hist_full = jnp.concatenate([xn0[None], xn_hist], axis=0)  # [T, P, dn]
     xn_traj = reconstruct_trajectories(xn_hist_full, ancestors)
 
-    if (fused or block_gather or lowrank) and xl_f.shape[-1] != n_lin:
+    if (block_gather or lowrank) and xl_f.shape[-1] != n_lin:
         xl_f = xl_f[..., :n_lin]
         P_f = P_f[..., :n_lin, :n_lin]
     P_f = P_f.astype(jnp.float32)

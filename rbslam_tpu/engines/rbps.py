@@ -64,16 +64,18 @@ class RBPSConfig(NamedTuple):
     resampling: str = "multinomial"
     jitter: float = 1e-2              # src/particleSmoother.m:70
     joseph: bool = False
-    use_fused_kf: bool = False        # Pallas fused gather+KF (dense, ny<=3)
     cov_dtype: str = "float32"        # bf16 covariance carry (dense path)
     symmetrize_cov: bool = True       # see RBPFConfig.symmetrize_cov
-    # info-form ancestor weights: "cholesky" factorizes Imat+ImatAdd per
-    # particle per step (the reference's structure, O(nl^3)); "woodbury"
-    # maintains W = (Imat+ImatAdd)^-1 and its log-det via exact rank-ny
+    # info-form ancestor weights: "woodbury" (default) maintains
+    # W = (Imat+ImatAdd)^-1 and its log-det via exact rank-ny
     # updates/downdates (O(nl^2 ny) per particle-step — no factorization
-    # in the hot loop; XLA's batched cholesky/triangular_solve lower
-    # poorly on TPU, measured 16 ms/step at N=100, nl=515)
-    ancestor_form: str = "cholesky"
+    # in the hot loop); "cholesky" factorizes Imat+ImatAdd per particle
+    # per step (the reference's structure, O(nl^3); XLA's batched
+    # cholesky/triangular_solve lower poorly on TPU, measured 16 ms/step
+    # at N=100, nl=515). Woodbury measured 1.27x at reference scale with
+    # matching sampled trajectories (RESULTS.md; equivalence gate
+    # tests/test_rbps.py::test_woodbury_matches_cholesky_form).
+    ancestor_form: str = "woodbury"
     # precompute the suffix information pairs for ALL t as one reverse
     # (associative) cumulative sum per sweep — the sequence-parallel
     # analog for this model class (SURVEY §5) and numerically cleaner
@@ -208,8 +210,6 @@ def _cpf_as_sweep(
     T = y.shape[0]
     dense = isinstance(model, DenseModel)
     ny = y.shape[1]
-    fused = config.use_fused_kf and dense and model.ny <= 3
-
     xn0 = jnp.broadcast_to(
         jnp.asarray(x0_nonlin), (n_p,) + jnp.asarray(x0_nonlin).shape
     )
@@ -219,12 +219,7 @@ def _cpf_as_sweep(
     n_lin = xl0.shape[-1]
     if dense and config.cov_dtype != "float32":
         P0 = P0.astype(jnp.dtype(config.cov_dtype))
-    if fused:
-        pad = (-n_lin) % 128        # lane-tile alignment (see rbpf.py)
-        if pad:
-            xl0 = jnp.pad(xl0, ((0, 0), (0, pad)))
-            P0 = jnp.pad(P0, ((0, 0), (0, pad), (0, pad)))
-    nl_c = xl0.shape[-1]   # carried (possibly padded) linear dim
+    nl_c = xl0.shape[-1]   # carried linear dim
 
     if dense and not is_first:
         C_ref = _jacobian_batch(model, xnk)     # [T, ny, n_lin] (:119-121)
@@ -236,20 +231,10 @@ def _cpf_as_sweep(
 
     # --- t = 0: importance weights + KF update only ---
     key, k0 = jax.random.split(key)
-    if fused:
-        from ..ops.kalman import kalman_update_dense_batched
-
-        C0 = _pad_cols(_jacobian_batch(model, xn0), nl_c)
-        xl1, P1, logw1, retried0_b = kalman_update_dense_batched(
-            C0, P0, xl0, jnp.nan_to_num(y[0]), R, config.jitter,
-            config.joseph,
-        )
-        retries0 = jnp.sum(retried0_b)
-    else:
-        xl1, P1, logw1, retries0 = _measurement_update(
-            model, xn0, xl0, P0, jnp.nan_to_num(y[0]), R, mask[0],
-            config.jitter, config.joseph, config.symmetrize_cov,
-        )
+    xl1, P1, logw1, retries0 = _measurement_update(
+        model, xn0, xl0, P0, jnp.nan_to_num(y[0]), R, mask[0],
+        config.jitter, config.joseph, config.symmetrize_cov,
+    )
     _, logw1n, _ = logsumexp_normalize(logw1)
 
     def step(carry, inputs):
@@ -290,20 +275,11 @@ def _cpf_as_sweep(
         if not is_first:
             xn_new = xn_new.at[n_p - 1].set(xnk[t_idx])   # keep reference state
 
-        if fused:
-            from ..kernels.kf_update import fused_gather_kf_update_1pass
-
-            C_t = _pad_cols(_jacobian_batch(model, xn_new), P.shape[-1])
-            xl_new, P_new, logw, retried_b = fused_gather_kf_update_1pass(
-                ai, C_t, xl_anc, P, y_t, R, config.jitter
-            )
-            retried_kf = jnp.sum(retried_b)
-        else:
-            P_anc = jnp.take(P, ai, axis=0)
-            xl_new, P_new, logw, retried_kf = _measurement_update(
-                model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
-                config.jitter, config.joseph, config.symmetrize_cov,
-            )
+        P_anc = jnp.take(P, ai, axis=0)
+        xl_new, P_new, logw, retried_kf = _measurement_update(
+            model, xn_new, xl_anc, P_anc, y_t, R, mask_t,
+            config.jitter, config.joseph, config.symmetrize_cov,
+        )
         _, logw_nn, _ = logsumexp_normalize(logw)
         ess = jnp.exp(-jax.nn.logsumexp(2.0 * logw_nn))
         new_retries = retries + retries_anc + retried_kf
@@ -331,9 +307,6 @@ def _cpf_as_sweep(
     ak = sample_categorical(key_pick, jnp.exp(logw_f))
     ess0 = jnp.exp(-jax.nn.logsumexp(2.0 * logw1n))
     xlk, Pk = xl_f[ak], P_f[ak].astype(jnp.float32)
-    if fused and xlk.shape[-1] != n_lin:
-        xlk = xlk[..., :n_lin]
-        Pk = Pk[..., :n_lin, :n_lin]
     return (
         xn_traj[:, ak],
         xlk,

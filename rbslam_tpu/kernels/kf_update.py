@@ -1,26 +1,34 @@
-"""Pallas TPU kernel: fused ancestor-gather + dense Kalman measurement
-update.
+"""Pallas TPU kernels for the RBPF hot loop: gather-fused blocked KF
+update and the low-rank factored update.
 
 The RBPF hot loop moves the per-particle covariance tensor
-P [N, nl, nl] through HBM three times per step on the XLA path: the
+P [N, nl, nl] through HBM multiple times per step on the XLA path: the
 resampling gather (jnp.take), the innovation/gain contraction, and the
 covariance downdate (SURVEY §3.1 dominant cost; src/particleFilter.m:
-104-113,163-204). This kernel does the whole thing in ONE pass: each
-grid step DMAs the *ancestor's* covariance P[ai[i]] straight into VMEM
-(ancestor indices arrive via scalar prefetch), runs the small-ny update
-entirely on-chip, and writes the updated covariance once:
+104-113,163-204). Two live kernel families cut that traffic:
 
-    U  = P a C_i^T                  [nl, ny]
-    S  = C_i U + R                  [ny, ny]   (+ jitter if not PD)
-    L  = chol(S)  (closed form, ny <= 3)
-    logw_i = -sum log diag L - 1/2 |L^-1 e|^2 - ny/2 log 2pi
-    K  = U S^-1
-    xl' = xl + K e,   P' = P - U S^-1 U^T
+- ``kf_update_block_gather``: blocked update in which the resampling
+  gather of P rides per-particle lookahead DMAs — ONE total HBM read +
+  write of the covariance ensemble per step:
 
-HBM traffic: one read + one write of P per particle (the information-
-theoretic minimum for a resampled update), ~3x less than the XLA path.
+      U  = P a C_i^T                  [nl, ny]
+      S  = C_i U + R                  [ny, ny]   (+ repair if not PD)
+      logw_i = -1/2 e'S^-1 e - 1/2 log|S| - ny/2 log 2pi
+      xl' = xl + U S^-1 e,   P' = P - U S^-1 U^T
+
+- ``kf_update_lowrank`` + ``kf_rebase``: the factored carry
+  P = P_base - Wt^T Wt. The KF downdate is additive rank-ny per step
+  (src/particleFilter.m:194-198), so the per-step kernel writes only
+  ny factor rows instead of nl x nl, and P_base is materialized once
+  per rebase period — the only path that can go BELOW the per-step
+  P copy floor.
+
 ny is restricted to 1..3 (covers every reference workload: radio ny=1,
-magnetic ny=3); larger ny falls back to ops/kalman.py.
+magnetic ny=3); larger ny falls back to ops/kalman.py. Superseded
+variants (per-particle manual-DMA 1-pass/2-pass kernels, the post-
+gather block kernel) were measured slower than these and removed —
+their numbers and the reasons live in NEGATIVE_RESULTS.md; the code is
+in git history (round 1-3).
 """
 
 from __future__ import annotations
@@ -36,619 +44,168 @@ from jax.experimental.pallas import tpu as pltpu
 _LOG2PI = float(np.log(2.0 * np.pi))
 
 
-def _chol_small(S, ny: int, jitter: float):
-    """Closed-form lower Cholesky of a tiny SPD matrix with a jitter
-    fallback folded in (scalar ops; S is [ny, ny])."""
-    # detect non-PD via the pivots; add jitter when any pivot would fail
-    def pivots_ok(Sm):
-        s11 = Sm[0, 0]
-        ok = s11 > 0
-        if ny >= 2:
-            l21 = Sm[1, 0] / jnp.where(s11 > 0, jnp.sqrt(jnp.abs(s11)), 1.0)
-            p2 = Sm[1, 1] - l21 * l21
-            ok = ok & (p2 > 0)
-        if ny >= 3:
-            l11 = jnp.sqrt(jnp.abs(s11))
-            l21 = Sm[1, 0] / jnp.where(l11 > 0, l11, 1.0)
-            l31 = Sm[2, 0] / jnp.where(l11 > 0, l11, 1.0)
-            p2 = Sm[1, 1] - l21 * l21
-            l22 = jnp.sqrt(jnp.abs(p2))
-            l32 = (Sm[2, 1] - l31 * l21) / jnp.where(l22 > 0, l22, 1.0)
-            p3 = Sm[2, 2] - l31 * l31 - l32 * l32
-            ok = ok & (p3 > 0)
-        return ok
-
-    ok = pivots_ok(S)
-    S = jnp.where(ok, S, S + jitter * jnp.eye(ny, dtype=S.dtype))
-
-    L = jnp.zeros_like(S)
-    l11 = jnp.sqrt(S[0, 0])
-    L = L.at[0, 0].set(l11)
-    if ny >= 2:
-        l21 = S[1, 0] / l11
-        l22 = jnp.sqrt(S[1, 1] - l21 * l21)
-        L = L.at[1, 0].set(l21).at[1, 1].set(l22)
-    if ny >= 3:
-        l31 = S[2, 0] / l11
-        l32 = (S[2, 1] - L[1, 0] * l31) / L[1, 1]
-        l33 = jnp.sqrt(S[2, 2] - l31 * l31 - l32 * l32)
-        L = L.at[2, 0].set(l31).at[2, 1].set(l32).at[2, 2].set(l33)
-    return L, ~ok
+def _onehot_col(ny, j, dtype):
+    """Constant one-hot column vector [ny, 1] built from iota (no scatter)."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (ny, 1), 0) == j).astype(dtype)
 
 
-def _tri_solve_small(L, b, ny: int):
-    """Forward-substitute L v = b for tiny ny (unrolled scalars)."""
-    v0 = b[0] / L[0, 0]
-    vs = [v0]
-    if ny >= 2:
-        vs.append((b[1] - L[1, 0] * v0) / L[1, 1])
-    if ny >= 3:
-        vs.append((b[2] - L[2, 0] * vs[0] - L[2, 1] * vs[1]) / L[2, 2])
-    return jnp.stack(vs)
-
-
-def _inv_from_chol_small(L, ny: int):
-    """S^-1 = L^-T L^-1 for tiny ny, explicit."""
-    # invert L (lower triangular)
-    Li = jnp.zeros_like(L)
-    Li = Li.at[0, 0].set(1.0 / L[0, 0])
-    if ny >= 2:
-        Li = Li.at[1, 1].set(1.0 / L[1, 1])
-        Li = Li.at[1, 0].set(-L[1, 0] * Li[0, 0] / L[1, 1])
-    if ny >= 3:
-        Li = Li.at[2, 2].set(1.0 / L[2, 2])
-        Li = Li.at[2, 1].set(-L[2, 1] * Li[1, 1] / L[2, 2])
-        Li = Li.at[2, 0].set(
-            -(L[2, 0] * Li[0, 0] + L[2, 1] * Li[1, 0]) / L[2, 2]
-        )
-    return Li.T @ Li
-
-
-def _kernel(ny: int, nl: int, block: int, jitter: float,
-            ai_ref, C_ref, xl_ref, e_in_ref, yR_ref,
-            P_hbm, P_out_ref, xl_out_ref, logw_ref,
-            p_scratch, sem):
-    """Grid step: `block` particles. ai_ref is scalar-prefetched."""
-    i0 = pl.program_id(0) * block
-
-    # start all ancestor DMAs up front (overlap)
-    for b in range(block):
-        pltpu.make_async_copy(
-            P_hbm.at[ai_ref[i0 + b]], p_scratch.at[b], sem.at[b]
-        ).start()
-
-    R = yR_ref[0:ny, :ny]
-
-    for b in range(block):
-        pltpu.make_async_copy(
-            P_hbm.at[ai_ref[i0 + b]], p_scratch.at[b], sem.at[b]
-        ).wait()
-        P = p_scratch[b]                       # [nl, nl]
-        C = C_ref[b]                           # [ny, nl]
-        e = e_in_ref[b, 0:ny]                  # innovation y - C xl (precomp)
-        U = jax.lax.dot_general(
-            P, C, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                      # [nl, ny]
-        S = jax.lax.dot_general(
-            C, U, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + R                                  # [ny, ny]
-        L, _bad = _chol_small(S, ny, jitter)
-        v = _tri_solve_small(L, e, ny)
-        logdiag = jnp.log(jnp.diagonal(L))
-        logw = (
-            -jnp.sum(logdiag)
-            - 0.5 * jnp.sum(v * v)
-            - 0.5 * ny * _LOG2PI
-        )
-        Sinv = _inv_from_chol_small(L, ny)
-        K = jax.lax.dot_general(
-            U, Sinv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                      # [nl, ny]
-        xl_out_ref[b, :] = xl_ref[b, :] + jnp.sum(
-            K * e[None, :], axis=1
-        )
-        P_out_ref[b] = P - jax.lax.dot_general(
-            K, U, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        logw_ref[b, 0] = logw
-
-
-@functools.partial(
-    jax.jit, static_argnames=("ny", "nl", "block", "jitter", "interpret")
-)
-def _fused_call(ai, C, xl_g, e, yR, P_all, ny, nl, block, jitter,
-                interpret):
-    n = C.shape[0]
-    grid = (n // block,)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block, ny, nl), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, nl), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, ny), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ny, ny), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # P_all stays in HBM
-        ],
-        out_specs=[
-            pl.BlockSpec((block, nl, nl), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, nl), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block, nl, nl), jnp.float32),
-            pltpu.SemaphoreType.DMA((block,)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_kernel, ny, nl, block, jitter),
-        out_shape=[
-            jax.ShapeDtypeStruct((n, nl, nl), jnp.float32),
-            jax.ShapeDtypeStruct((n, nl), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        ],
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(ai, C, xl_g, e, yR, P_all)
-
-
-def _chol_scalars(S, ny: int, jitter: float):
-    """Scalar-form lower-Cholesky of a tiny SPD matrix (ny <= 3) with the
-    jitter fallback folded in. Mosaic has no scatter, so no `.at[].set`:
-    everything stays individual scalars. Returns (entries, bad)."""
-    s11, s21, s22, s31, s32, s33 = (S[0, 0], None, None, None, None, None)
-    if ny >= 2:
-        s21, s22 = S[1, 0], S[1, 1]
-    if ny >= 3:
-        s31, s32, s33 = S[2, 0], S[2, 1], S[2, 2]
-
-    def pivots(s11, s21, s22, s31, s32, s33):
-        ok = s11 > 0
-        safe = lambda x: jnp.where(x > 0, x, 1.0)
-        if ny >= 2:
-            l11 = jnp.sqrt(jnp.abs(s11))
-            l21 = s21 / safe(l11)
-            p2 = s22 - l21 * l21
-            ok = ok & (p2 > 0)
-        if ny >= 3:
-            l31 = s31 / safe(l11)
-            l22 = jnp.sqrt(jnp.abs(p2))
-            l32 = (s32 - l31 * l21) / safe(l22)
-            p3 = s33 - l31 * l31 - l32 * l32
-            ok = ok & (p3 > 0)
-        return ok
-
-    ok = pivots(s11, s21, s22, s31, s32, s33)
-    bad = ~ok
-    # scale-aware retry jitter (see ops/kalman._chol_small_batched)
-    diag_mean = s11
-    if ny == 2:
-        diag_mean = 0.5 * (s11 + s22)
-    if ny == 3:
-        diag_mean = (s11 + s22 + s33) / 3.0
-    jit_eff = jitter * jnp.maximum(1.0, diag_mean)
-    s11 = jnp.where(ok, s11, s11 + jit_eff)
-    if ny >= 2:
-        s22 = jnp.where(ok, s22, s22 + jit_eff)
-    if ny >= 3:
-        s33 = jnp.where(ok, s33, s33 + jit_eff)
-
-    l11 = jnp.sqrt(s11)
-    l21 = l22 = l31 = l32 = l33 = None
-    if ny >= 2:
-        l21 = s21 / l11
-        l22 = jnp.sqrt(s22 - l21 * l21)
-    if ny >= 3:
-        l31 = s31 / l11
-        l32 = (s32 - l31 * l21) / l22
-        l33 = jnp.sqrt(s33 - l31 * l31 - l32 * l32)
-    return (l11, l21, l22, l31, l32, l33), bad
-
-
-def _solve_logw_scalars(ls, e, ny: int):
-    """Whitened residual + Gaussian log-density from scalar Cholesky."""
-    l11, l21, l22, l31, l32, l33 = ls
-    v1 = e[0] / l11
-    vv = v1 * v1
-    logdiag = jnp.log(l11)
-    if ny >= 2:
-        v2 = (e[1] - l21 * v1) / l22
-        vv = vv + v2 * v2
-        logdiag = logdiag + jnp.log(l22)
-    if ny >= 3:
-        v3 = (e[2] - l31 * v1 - l32 * v2) / l33
-        vv = vv + v3 * v3
-        logdiag = logdiag + jnp.log(l33)
-    return -logdiag - 0.5 * vv - 0.5 * ny * _LOG2PI
-
-
-def _sinv_scalars(ls, ny: int):
-    """S^-1 entries from the scalar Cholesky: Sinv = Li' Li."""
-    l11, l21, l22, l31, l32, l33 = ls
-    i11 = 1.0 / l11
-    if ny == 1:
-        return ((i11 * i11,),)
-    i22 = 1.0 / l22
-    i21 = -l21 * i11 * i22
-    if ny == 2:
-        return (
-            (i11 * i11 + i21 * i21, i21 * i22),
-            (i21 * i22, i22 * i22),
-        )
-    i33 = 1.0 / l33
-    i32 = -l32 * i22 * i33
-    i31 = -(l31 * i11 + l32 * i21) * i33
-    return (
-        (i11 * i11 + i21 * i21 + i31 * i31,
-         i21 * i22 + i31 * i32, i31 * i33),
-        (i21 * i22 + i31 * i32, i22 * i22 + i32 * i32, i32 * i33),
-        (i31 * i33, i32 * i33, i33 * i33),
-    )
-
-
-def _kernel_1pass(ny: int, nl: int, block: int, jitter: float,
-                  ai_ref, C_ref, e_ref, xl_ref, R_ref,
-                  P_hbm,
-                  P_out_ref, xl_out_ref, logw_ref, bad_ref,
-                  pbuf, sems):
-    """One-pass fused gather + KF update, double-buffered across grid
-    steps: while block i computes, block i+1's ancestor rows are already
-    in flight (B row-DMAs per step, issued one grid step ahead), so the
-    gather latency hides behind the small-matrix compute. P is read once
-    and written once — the information-theoretic minimum for a resampled
-    covariance update."""
-    i = pl.program_id(0)
-    n_blocks = pl.num_programs(0)
-
-    def issue(block_idx, slot):
-        base = block_idx * block
-        for b in range(block):
-            pltpu.make_async_copy(
-                P_hbm.at[ai_ref[base + b]], pbuf.at[slot, b],
-                sems.at[slot, b],
-            ).start()
-
-    @pl.when(i == 0)
-    def _():
-        issue(0, 0)
-
-    slot = jax.lax.rem(i, 2)
-    nxt = jax.lax.rem(i + 1, 2)
-
-    @pl.when(i + 1 < n_blocks)
-    def _():
-        issue(i + 1, nxt)
-
-    R = R_ref[0:ny, 0:ny]
-    for b in range(block):
-        pltpu.make_async_copy(
-            P_hbm.at[ai_ref[i * block + b]], pbuf.at[slot, b],
-            sems.at[slot, b],
-        ).wait()
-        P = pbuf[slot, b].astype(jnp.float32)      # [nl, nl]
-        C = C_ref[b]                               # [ny, nl]
-        e = e_ref[b, 0:ny]
-        U = jax.lax.dot_general(                   # P C' : [nl, ny]
-            P, C, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        S = jax.lax.dot_general(
-            C, U, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + R
-        ls, bad = _chol_scalars(S, ny, jitter)
-        logw = _solve_logw_scalars(ls, e, ny)
-        Sinv = _sinv_scalars(ls, ny)
-        # K columns as scalar-weighted sums of U's columns (no small
-        # matmuls, no scatter): K[:, j] = sum_i U[:, i] Sinv[i][j]
-        ucols = [U[:, m:m + 1] for m in range(ny)]
-        kcols = [
-            sum(ucols[m] * Sinv[m][j] for m in range(ny))
-            for j in range(ny)
-        ]
-        xl_new = xl_ref[b, :]
-        for j in range(ny):
-            xl_new = xl_new + kcols[j][:, 0] * e[j]
-        xl_out_ref[b, :] = xl_new
-        K = kcols[0] if ny == 1 else jnp.concatenate(kcols, axis=1)
-        down = jax.lax.dot_general(                # K U' : [nl, nl]
-            K, U, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        P_out_ref[b] = (P - down).astype(P_out_ref.dtype)
-        logw_ref[b, 0] = logw
-        bad_ref[b, 0] = bad.astype(jnp.int32)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("ny", "nl", "block", "jitter", "interpret")
-)
-def _fused_1pass_call(ai, C, xl_g, e, R_pad, P_all, ny, nl, block, jitter,
-                      interpret):
-    n = C.shape[0]
-    grid = (n // block,)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block, ny, nl), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, ny), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, nl), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ny, ny), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # P_all stays in HBM
-        ],
-        out_specs=[
-            pl.BlockSpec((block, nl, nl), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, nl), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i, *_: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((block, 1), lambda i, *_: (i, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, block, nl, nl), P_all.dtype),
-            pltpu.SemaphoreType.DMA((2, block)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_kernel_1pass, ny, nl, block, jitter),
-        out_shape=[
-            jax.ShapeDtypeStruct((n, nl, nl), P_all.dtype),
-            jax.ShapeDtypeStruct((n, nl), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
-        ],
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(ai, C, e, xl_g, R_pad, P_all)
-
-
-def fused_gather_kf_update_1pass(ai, C, xl_gathered, P_all, y, R,
-                                 jitter: float = 1e-3, block: int = 16):
-    """Single-HBM-pass fused resampling-gather + dense KF update.
-
-    ai [N] ancestor indices (any order; systematic resampling emits them
-    sorted, which makes the row fetches near-streaming); C [N, ny, nl]
-    Jacobians at the propagated particles; xl_gathered [N, nl];
-    P_all [N, nl, nl] pre-resampling covariances (f32 or bf16 storage);
-    y [ny]; R [ny, ny]. Requires ny <= 3 and nl aligned to the sublane
-    tile of P's dtype (8 f32 / 16 bf16; engines pad, rbpf.py).
-    Returns (xl', P', logw, retried) — same contract as
-    ops.kalman.kalman_update_dense_batched (no trailing symmetrize; the
-    K U' downdate is symmetric up to fp rounding).
-    """
-    n, ny, nl = C.shape
-    if ny > 3:
-        raise ValueError("fused KF kernel supports ny <= 3")
-    if nl % 128:
-        # manual DMA row slices must be lane-tile (128) aligned. The lane
-        # (last) axis pads to 128 for free in the physical layout, but the
-        # sublane (second-to-last) axis only pads to 8 — so rounding nl up
-        # to a 128 multiple DOES add real HBM traffic on that axis when nl
-        # is far from one (e.g. 515 -> 640 is ~+24%); choose nl accordingly
-        raise ValueError(f"nl={nl} must be a multiple of 128 (pad upstream)")
-    # VMEM budget: two double-buffer slots + pipelined out blocks
-    bytes_per_row = nl * nl * P_all.dtype.itemsize
-    while block > 1 and (4 * block * bytes_per_row > 8 * 1024 * 1024
-                         or n % block):
-        block //= 2
-    interpret = jax.default_backend() != "tpu"
-    e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl_gathered)
-    P_new, xl_new, logw, bad = _fused_1pass_call(
-        ai.astype(jnp.int32), C.astype(jnp.float32),
-        xl_gathered.astype(jnp.float32), e.astype(jnp.float32),
-        jnp.asarray(R, jnp.float32), P_all,
-        ny, nl, block, jitter, interpret,
-    )
-    return xl_new, P_new, logw[:, 0], bad[:, 0].astype(bool)
-
-
-def _gather_u_kernel(ai_ref, C_ref, P_ref, U_ref):
-    """U = P[ai[i]] @ C[i]^T — the gather rides the Pallas input pipeline
-    (P's BlockSpec index_map reads the scalar-prefetched ancestors).
-    P may be stored bf16 (covariance carry); compute in f32."""
-    P = P_ref[0].astype(jnp.float32)
-    U_ref[0] = jax.lax.dot_general(
-        P, C_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _gather_downdate_kernel(ai_ref, M_ref, U_ref, P_ref, P_out_ref):
-    """P_new = P[ai[i]] - M[i] @ U[i]^T — second (final) P pass."""
-    P = P_ref[0].astype(jnp.float32)
-    P_new = P - jax.lax.dot_general(
-        M_ref[0], U_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    P_out_ref[0] = P_new.astype(P_out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _gather_u_call(ai, C, P_all, interpret):
-    n, ny, nl = C.shape
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, ny, nl), lambda i, ai_ref: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nl, nl), lambda i, ai_ref: (ai_ref[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, nl, ny), lambda i, ai_ref: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        _gather_u_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, nl, ny), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(ai, C, P_all)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _gather_downdate_call(ai, M, U, P_all, interpret):
-    n, nl, ny = U.shape
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, nl, ny), lambda i, ai_ref: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nl, ny), lambda i, ai_ref: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nl, nl), lambda i, ai_ref: (ai_ref[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, nl, nl), lambda i, ai_ref: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        _gather_downdate_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, nl, nl), P_all.dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(ai, M, U, P_all)
-
-
-def fused_gather_kf_update_2pass(ai, C, xl_gathered, P_all, y, R,
-                                 jitter: float = 1e-3, block: int = 8):
-    """Two-kernel fused gather + KF update.
-
-    Pass 1 (Pallas): U = P[ai] C^T (gather fused into the contraction).
-    XLA: S = C U + R (ny x ny), batched Cholesky + log-weights, gain
-    factor M = U S^-1, state update (all cheap, O(N nl ny)).
-    Pass 2 (Pallas): P' = P[ai] - M U^T.
-
-    Three total passes over the covariance tensor vs the XLA path's
-    gather + multi-pass update; no small-matrix algebra inside Mosaic.
-    """
-    from ..math.linalg import gaussian_logpdf_chol, psd_cholesky, solve_psd
-    from ..ops.kalman import (
-        _LOG2PI,
-        _chol_small_batched,
-        _inv_from_chol_small_batched,
-        _tri_solve_small_batched,
-    )
-
-    n, ny, nl = C.shape
-    interpret = jax.default_backend() != "tpu"
-    ai = ai.astype(jnp.int32)
-
-    U = _gather_u_call(ai, C, P_all, interpret)              # [N, nl, ny]
-    S = jnp.einsum("pij,pjk->pik", C, U) + R
-    e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl_gathered)
-    if ny <= 3:
-        L, retried = _chol_small_batched(S, jitter)
-        v = _tri_solve_small_batched(L, e)
-        logw = (
-            -jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-            - 0.5 * jnp.sum(v * v, axis=-1)
-            - 0.5 * ny * _LOG2PI
-        )
-        M = jnp.einsum("pij,pjk->pik", U, _inv_from_chol_small_batched(L))
-    else:
-        L, retried = psd_cholesky(S, jitter)
-        logw = gaussian_logpdf_chol(e, L)
-        M = jnp.swapaxes(solve_psd(L, jnp.swapaxes(U, -1, -2)), -1, -2)
-    xl_new = xl_gathered + jnp.einsum("pij,pj->pi", M, e)
-    P_new = _gather_downdate_call(ai, M, U, P_all, interpret)
-    return xl_new, P_new, logw, retried
-
-
-def _sum_all(M, ny):
-    """sum_ij M[b, i, j] as [B, 1, 1] via two dot_generals against a ones
-    vector — NOT jnp.sum(keepdims): on this toolchain keepdims reductions
-    lower to rank-changing vector reshapes that abort Mosaic's layout
-    inference, and sublane slicing (the other route to scalars) silently
-    combines mismatched vreg offsets. dot_general is the one primitive
-    verified correct here."""
-    u = jnp.ones((ny, 1), dtype=M.dtype)
-    Mu = jax.lax.dot_general(
-        M, u, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                              # [B, ny, 1]
+def _extract_entry(col, i, ny):
+    """col [B, ny, 1] -> S[:, i] as [B, 1, 1] via a one-hot dot_general
+    (the verified slice-free scalar-extraction pattern: two dot_generals
+    against one-hot vectors — NOT jnp.sum(keepdims)/slicing, which abort
+    or silently miscompile under Mosaic here)."""
+    u = _onehot_col(ny, i, col.dtype)
     return jax.lax.dot_general(
-        Mu, u, (((1,), (0,)), ((), ())),
+        col, u, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                              # [B, 1, 1]
+    )
 
 
-def _trace(M, ny):
-    """tr(M) per batch element as [B, 1, 1] (eye-masked _sum_all)."""
-    eye = jax.lax.broadcasted_iota(jnp.int32, (1, ny, ny), 1) == \
-        jax.lax.broadcasted_iota(jnp.int32, (1, ny, ny), 2)
-    return _sum_all(M * eye.astype(M.dtype), ny)
+def _pair_mask(ny, i, j, dtype):
+    """Constant [1, ny, ny] indicator of entry (i, j)."""
+    return ((jax.lax.broadcasted_iota(jnp.int32, (1, ny, ny), 1) == i)
+            & (jax.lax.broadcasted_iota(jnp.int32, (1, ny, ny), 2) == j)
+            ).astype(dtype)
 
 
 def _spd_inv_logdet(S, ny: int, jitter: float):
-    """Batched closed-form inverse + log-det of tiny SPD matrices via
-    Cayley-Hamilton trace identities — matrix ops only, slice-free.
+    """Batched closed-form inverse + log-det of tiny SPD matrices via a
+    SCALARIZED Cholesky — full-tensor math only, slice-free.
 
-    For symmetric S with real eigenvalues, the characteristic-polynomial
-    coefficients e1 = tr S, e2 = (tr^2 - ||S||_F^2)/2, e3 = det are all
-    positive iff S is PD, which doubles as the jitter trigger (the
-    scale-aware retry of ops/kalman). The jitter is folded in
-    ALGEBRAICALLY — det(S + jI) = e3 + e2 j + e1 j^2 + j^3 and
-    (S + jI)^2 = S^2 + 2jS + j^2 I — so the invariants are computed once
-    and exactly one batched small matmul (S^2, ny == 3 only) runs per
-    call. Returns (Sinv, logdet [B,1,1], bad [B,1,1] bool).
+    Entries of S are extracted as [B, 1, 1] scalars through one-hot
+    ``dot_general``s (sublane slicing is silently wrong on this
+    toolchain and in-kernel reshapes abort — see _block_update_math),
+    the ny <= 3 Cholesky recursion runs as elementwise sqrt/divide on
+    those scalars (numerically the same closed form as
+    ops/kalman._chol_small_batched — the stable route, unlike the
+    trace-power/Cayley-Hamilton det formula this replaces, whose
+    e3 = (t1^3 - 3 t1 t2 + 2 t3)/6 cancellation produced det <= 0 and
+    1e-2-level logdet error on PD inputs at f32), and S^-1/logdet are
+    reassembled with broadcast one-hot masks.
+
+    Repair contract (matches math/linalg.psd_cholesky): any non-positive
+    pivot triggers a per-particle shift j = jitter-scaled + the
+    Gershgorin excess max_i(sum_{k != i} |S_ik| - S_ii), which makes
+    S + jI strictly diagonally dominant, hence PD; pivots of the shifted
+    recursion are floor-clamped so the outputs are ALWAYS finite.
+    Returns (Sinv, logdet [B,1,1], bad [B,1,1] bool).
     """
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (1, ny, ny), 1) ==
-           jax.lax.broadcasted_iota(jnp.int32, (1, ny, ny), 2)
-           ).astype(S.dtype)
-
-    t1 = _trace(S, ny)
     if ny == 1:
-        bad = S <= 0
-        j = jnp.where(bad, jitter * jnp.maximum(1.0, t1), 0.0)
-        S = S + j
-        return 1.0 / S, jnp.log(S), bad
+        scale = jnp.maximum(1.0, S)
+        bad = S <= 1e-30 * scale
+        g = -S                              # Gershgorin excess, 1x1
+        j = jnp.where(bad, jitter * scale + jnp.maximum(g, 0.0), 0.0)
+        Ssh = jnp.maximum(S + j, 1e-30 * scale)
+        return 1.0 / Ssh, jnp.log(Ssh), bad
 
-    t2 = _sum_all(S * S, ny)          # tr(S^2) = ||S||_F^2 (S symmetric)
-    e2 = 0.5 * (t1 * t1 - t2)
+    # --- extract the unique entries as [B, 1, 1] scalars ---------------
+    cols = [
+        jax.lax.dot_general(
+            S, _onehot_col(ny, c, S.dtype), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for c in range(ny)
+    ]                                       # each [B, ny, 1]
+    s11 = _extract_entry(cols[0], 0, ny)
+    s21 = _extract_entry(cols[0], 1, ny)
+    s22 = _extract_entry(cols[1], 1, ny)
+    if ny == 3:
+        s31 = _extract_entry(cols[0], 2, ny)
+        s32 = _extract_entry(cols[1], 2, ny)
+        s33 = _extract_entry(cols[2], 2, ny)
+    else:
+        s31 = s32 = s33 = None
+
+    tr = s11 + s22 + (s33 if ny == 3 else 0.0)
+    scale = jnp.maximum(1.0, tr / ny)
+    floor = 1e-30 * scale
+    tiny = 1e-30
+
+    def pivots(a11, a22, a33):
+        l11 = jnp.sqrt(jnp.maximum(a11, tiny))
+        l21 = s21 / l11
+        p2 = a22 - l21 * l21
+        if ny == 2:
+            return (a11, p2), (l11, l21)
+        l31 = s31 / l11
+        l22 = jnp.sqrt(jnp.maximum(p2, tiny))
+        l32 = (s32 - l31 * l21) / l22
+        p3 = a33 - l31 * l31 - l32 * l32
+        return (a11, p2, p3), (l11, l21, l31, l22, l32)
+
+    piv0, _ = pivots(s11, s22, s33)
+    bad = piv0[0] <= floor
+    for p in piv0[1:]:
+        bad = bad | (p <= floor)
+
+    # Gershgorin excess: shift that guarantees strict diagonal dominance
     if ny == 2:
-        bad = (t1 <= 0) | (e2 <= 0)
-        j = jnp.where(bad, jitter * jnp.maximum(1.0, 0.5 * t1), 0.0)
-        det = e2 + j * t1 + j * j
-        t1 = t1 + 2.0 * j
-        S = S + j * eye
-        return (t1 * eye - S) / det, jnp.log(det), bad
+        g = jnp.maximum(jnp.abs(s21) - s11, jnp.abs(s21) - s22)
+    else:
+        g = jnp.maximum(
+            jnp.abs(s21) + jnp.abs(s31) - s11,
+            jnp.maximum(
+                jnp.abs(s21) + jnp.abs(s32) - s22,
+                jnp.abs(s31) + jnp.abs(s32) - s33,
+            ),
+        )
+    j = jnp.where(bad, jitter * scale + jnp.maximum(g, 0.0), 0.0)
 
-    S2 = jax.lax.dot_general(
-        S, S, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+    # --- shifted recursion with floor-clamped pivots (always finite) ---
+    a11 = s11 + j
+    a22 = s22 + j
+    a33 = s33 + j if ny == 3 else None
+    pivs, _ = pivots(a11, a22, a33)
+    pivs = tuple(jnp.maximum(p, floor) for p in pivs)
+    logdet = sum(jnp.log(p) for p in pivs)
+
+    if ny == 2:
+        l11 = jnp.sqrt(pivs[0])
+        l21 = s21 / l11
+        l22 = jnp.sqrt(pivs[1])
+        m11 = 1.0 / l11
+        m22 = 1.0 / l22
+        m21 = -l21 * m11 * m22
+        i11 = m11 * m11 + m21 * m21
+        i21 = m21 * m22
+        i22 = m22 * m22
+        Sinv = (
+            i11 * _pair_mask(ny, 0, 0, i11.dtype)
+            + i21 * (_pair_mask(ny, 1, 0, i11.dtype)
+                     + _pair_mask(ny, 0, 1, i11.dtype))
+            + i22 * _pair_mask(ny, 1, 1, i11.dtype)
+        )
+        return Sinv, logdet, bad
+
+    l11 = jnp.sqrt(pivs[0])
+    l21 = s21 / l11
+    l31 = s31 / l11
+    l22 = jnp.sqrt(pivs[1])
+    l32 = (s32 - l31 * l21) / l22
+    l33 = jnp.sqrt(pivs[2])
+    # L^-1 entries (lower), then S^-1 = L^-T L^-1
+    m11 = 1.0 / l11
+    m22 = 1.0 / l22
+    m33 = 1.0 / l33
+    m21 = -l21 * m11 * m22
+    m32 = -l32 * m22 * m33
+    m31 = (l21 * l32 - l31 * l22) * m11 * m22 * m33
+    i11 = m11 * m11 + m21 * m21 + m31 * m31
+    i21 = m21 * m22 + m31 * m32
+    i31 = m31 * m33
+    i22 = m22 * m22 + m32 * m32
+    i32 = m32 * m33
+    i33 = m33 * m33
+    dt = i11.dtype
+    Sinv = (
+        i11 * _pair_mask(ny, 0, 0, dt)
+        + i22 * _pair_mask(ny, 1, 1, dt)
+        + i33 * _pair_mask(ny, 2, 2, dt)
+        + i21 * (_pair_mask(ny, 1, 0, dt) + _pair_mask(ny, 0, 1, dt))
+        + i31 * (_pair_mask(ny, 2, 0, dt) + _pair_mask(ny, 0, 2, dt))
+        + i32 * (_pair_mask(ny, 2, 1, dt) + _pair_mask(ny, 1, 2, dt))
     )
-    t3 = _sum_all(S2 * S, ny)         # tr(S^3), S symmetric
-    e3 = (t1 * t1 * t1 - 3.0 * t1 * t2 + 2.0 * t3) / 6.0
-    bad = (t1 <= 0) | (e2 <= 0) | (e3 <= 0)
-    j = jnp.where(bad, jitter * jnp.maximum(1.0, t1 / 3.0), 0.0)
-    det = e3 + e2 * j + t1 * j * j + j * j * j
-    S2 = S2 + 2.0 * j * S + j * j * eye
-    S = S + j * eye
-    t1n = t1 + 3.0 * j
-    t2n = t2 + 2.0 * j * (t1 + j) + j * j    # tr((S + jI)^2)
-    e2n = 0.5 * (t1n * t1n - t2n)
-    Sinv = (S2 - t1n * S + e2n * eye) / det
-    return Sinv, jnp.log(det), bad
+    return Sinv, logdet, bad
 
 
 def _block_update_math(ny, jitter, C, P, e_ref, xl_ref, R_ref,
@@ -663,8 +220,9 @@ def _block_update_math(ny, jitter, C, P, e_ref, xl_ref, R_ref,
     The two O(nl^2)-per-particle products (CP = C P and the rank-ny
     downdate) run as batch-dimension `dot_general`s on the MXU —
     measured at the P copy-bandwidth floor at nl=128. The small-ny
-    algebra between them is SLICE-FREE by design: Cayley-Hamilton
-    inverse/log-det (_spd_inv_logdet) on the full [B, ny, ny] tensor.
+    algebra between them is SLICE-FREE by design: a scalarized
+    closed-form Cholesky inverse/log-det (_spd_inv_logdet) on one-hot-
+    extracted [B, 1, 1] scalars of the [B, ny, ny] tensor.
     Slicing the ny (sublane) axis is forbidden in this kernel — Mosaic
     gives each sliced [B, 1] vector a distinct sublane offset and (on
     this toolchain) combines mismatched offsets without relayout,
@@ -725,23 +283,6 @@ def _block_update_math(ny, jitter, C, P, e_ref, xl_ref, R_ref,
         preferred_element_type=jnp.float32,
     )                                              # [B, nl, nl]
     P_out_ref[...] = P - dd.astype(P.dtype)
-
-
-def _kernel_block(ny: int, jitter: float,
-                  C_ref, e_ref, xl_ref, R_ref,
-                  P_ref,
-                  P_out_ref, xl_out_ref, logw_ref, bad_ref):
-    """Single-pass blocked KF update over pre-gathered covariances.
-
-    One grid step = `block` particles, streamed through the automatic
-    Pallas input/output pipeline (P block in, P block out — one HBM read
-    + one write of P total, vs read+materialized-f32-downdate+write on
-    the XLA path).
-    """
-    _block_update_math(
-        ny, jitter, C_ref[...], P_ref[...],
-        e_ref, xl_ref, R_ref, P_out_ref, xl_out_ref, logw_ref, bad_ref,
-    )
 
 
 def _kernel_block_gather(ny: int, block: int, jitter: float,
@@ -882,111 +423,6 @@ def kf_update_block_gather(ai, C, xl_gathered, P_all, y, R,
     )
     return (xl_new[:, 0, :], P_new, logw[:, 0, 0],
             bad[:, 0, 0].astype(bool))
-
-
-@functools.partial(
-    jax.jit, static_argnames=("ny", "nl", "block", "jitter", "interpret")
-)
-def _block_call(C, e, xl, R, P_all, ny, nl, block, jitter, interpret):
-    n = e.shape[0]
-    grid = (n // block,)
-    return pl.pallas_call(
-        functools.partial(_kernel_block, ny, jitter),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block, ny, nl), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1, ny), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1, nl), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ny, ny), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, nl, nl), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block, nl, nl), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1, nl), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, nl, nl), P_all.dtype),
-            jax.ShapeDtypeStruct((n, 1, nl), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(C, e[:, None, :], xl[:, None, :], R, P_all)
-
-
-def kf_update_block(C, P_gathered, xl_gathered, y, R,
-                    jitter: float = 1e-3, block: int = 32):
-    """Blocked single-HBM-pass dense KF update (post-gather).
-
-    The resampling gather stays in XLA (`jnp.take` streams P once); this
-    kernel then performs the innovation weighing + Kalman update with
-    exactly one further read and one write of the covariance tensor —
-    the XLA path instead materializes the [N, nl, nl] f32 downdate
-    (src/particleFilter.m:163-204 semantics; ops/kalman.py math). ny <= 3.
-
-    C [N, ny, nl] Jacobians at the propagated particles;
-    P_gathered [N, nl, nl] (f32 or bf16 storage); xl_gathered [N, nl];
-    y [ny]; R [ny, ny]. Returns (xl', P', logw, retried) — identical
-    contract (and algebra, up to fp ordering) to
-    ops.kalman.kalman_update_dense_batched with symmetrize_out=False.
-    """
-    n, ny, nl = C.shape
-    if ny > 3:
-        raise ValueError("blocked KF kernel supports ny <= 3")
-    while block > 1 and n % block:
-        block //= 2
-    # VMEM budget: in/out P blocks (double-buffered) + f32 temporaries
-    bytes_blk = block * nl * nl
-    while block > 1 and bytes_blk * (2 * P_gathered.dtype.itemsize + 12) \
-            > 12 * 1024 * 1024:
-        block //= 2
-        bytes_blk //= 2
-    interpret = jax.default_backend() != "tpu"
-    C = C.astype(jnp.float32)
-    e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl_gathered)
-    P_new, xl_new, logw, bad = _block_call(
-        C, e.astype(jnp.float32), xl_gathered.astype(jnp.float32),
-        jnp.asarray(R, jnp.float32), P_gathered,
-        ny, nl, block, jitter, interpret,
-    )
-    return (xl_new[:, 0, :], P_new, logw[:, 0, 0],
-            bad[:, 0, 0].astype(bool))
-
-
-def fused_gather_kf_update(ai, C, xl_gathered, P_all, y, R,
-                           jitter: float = 1e-3, block: int = 8):
-    """Fused resampling-gather + dense KF update.
-
-    ai [N] int32 ancestor indices; C [N, ny, nl] Jacobians at the
-    *propagated* particles; xl_gathered [N, nl] already-gathered maps
-    (cheap); P_all [N, nl, nl] pre-resampling covariances; y [ny], R.
-    Returns (xl', P', logw) matching ops.kalman.kalman_update_dense_batched
-    up to fp ordering. Requires ny <= 3.
-    """
-    n, ny, nl = C.shape
-    if ny > 3:
-        raise ValueError("fused KF kernel supports ny <= 3")
-    if n % block != 0:
-        block = 1
-    interpret = jax.default_backend() != "tpu"
-    e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl_gathered)
-    yR = jnp.asarray(R, jnp.float32)
-    P_new, xl_new, logw = _fused_call(
-        ai.astype(jnp.int32), C, xl_gathered, e, yR, P_all,
-        ny, nl, block, jitter, interpret,
-    )
-    return xl_new, P_new, logw[:, 0]
 
 
 # ---------------------------------------------------------------------------

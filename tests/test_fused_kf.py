@@ -1,4 +1,9 @@
-"""Fused gather+KF Pallas kernels match the XLA path (interpret mode)."""
+"""Pallas KF kernels (block_gather, lowrank) match the XLA path
+(interpret mode on CPU; hardware validation via bench/profile scripts).
+
+Superseded kernel variants (per-particle 1pass/2pass, post-gather block)
+were removed in round 4 — NEGATIVE_RESULTS.md records their numbers.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -6,10 +11,6 @@ import numpy as np
 import pytest
 
 from rbslam_tpu.engines import RBPFConfig, run_rbpf
-from rbslam_tpu.kernels import (
-    fused_gather_kf_update,
-    fused_gather_kf_update_2pass,
-)
 from rbslam_tpu.ops.kalman import kalman_update_dense_batched
 
 from test_rbpf import _radio_setup, THETA
@@ -29,145 +30,45 @@ def _problem(N=16, ny=3, nl=40, seed=0):
 
 
 @pytest.mark.parametrize("ny", [1, 2, 3])
-def test_single_kernel_matches_reference(ny):
-    ai, C, P, xl, y, R = _problem(ny=ny)
-    Pg = jnp.take(P, ai, axis=0)
-    xlg = jnp.take(xl, ai, axis=0)
-    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
-    out = fused_gather_kf_update(ai, C, xlg, P, y, R)
-    np.testing.assert_allclose(out[0], ref[0], atol=1e-5)
-    np.testing.assert_allclose(out[1], ref[1], atol=1e-5)
-    np.testing.assert_allclose(out[2], ref[2], atol=1e-5)
+def test_spd_inv_logdet_accuracy(ny):
+    """The kernels' scalarized-Cholesky inverse/log-det matches LAPACK on
+    PD inputs across conditioning (the Cayley-Hamilton det formula it
+    replaced lost ~1e-2 of logdet accuracy even at cond ~3 and produced
+    NaN at cond ~1e4 — ADVICE round 3)."""
+    from rbslam_tpu.kernels.kf_update import _spd_inv_logdet
 
-
-@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
-def test_one_pass_matches_reference(dtype):
-    # nl must be lane-tile (128) aligned for the manual-DMA path
-    ai, C, P, xl, y, R = _problem(nl=128)
-    from rbslam_tpu.kernels.kf_update import fused_gather_kf_update_1pass
-
-    P = P.astype(jnp.dtype(dtype))
-    Pg = jnp.take(P, ai, axis=0)
-    xlg = jnp.take(xl, ai, axis=0)
-    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
-    out = fused_gather_kf_update_1pass(ai, C, xlg, P, y, R)
-    tol = 1e-5 if dtype == "float32" else 5e-2
-    assert out[1].dtype == P.dtype
-    np.testing.assert_allclose(out[0], ref[0], atol=10 * tol)
+    rng = np.random.default_rng(0)
+    Q, _ = np.linalg.qr(rng.normal(size=(64, ny, ny)))
+    d = np.geomspace(1.0, 1e4, ny)[None, :] * np.ones((64, 1))
+    S = np.einsum("bij,bj,bkj->bik", Q, d, Q).astype(np.float32)
+    Sinv, logdet, bad = map(
+        np.asarray, _spd_inv_logdet(jnp.asarray(S), ny, 1e-3)
+    )
+    assert not bad.any()
+    ld_ref = np.linalg.slogdet(S.astype(np.float64))[1]
+    np.testing.assert_allclose(logdet[:, 0, 0], ld_ref, atol=5e-3)
+    inv_ref = np.linalg.inv(S.astype(np.float64))
     np.testing.assert_allclose(
-        out[1].astype(jnp.float32), ref[1].astype(jnp.float32), atol=tol
-    )
-    np.testing.assert_allclose(out[2], ref[2], atol=10 * tol)
-
-
-def test_two_pass_matches_reference():
-    ai, C, P, xl, y, R = _problem()
-    Pg = jnp.take(P, ai, axis=0)
-    xlg = jnp.take(xl, ai, axis=0)
-    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
-    out = fused_gather_kf_update_2pass(ai, C, xlg, P, y, R)
-    np.testing.assert_allclose(out[0], ref[0], atol=1e-5)
-    np.testing.assert_allclose(out[1], ref[1], atol=1e-5)
-    np.testing.assert_allclose(out[2], ref[2], atol=1e-5)
-
-
-def test_rbpf_with_fused_kf_unaligned_nlin():
-    """n_lin not a multiple of 8 exercises the zero-padding path."""
-    data, model, basis, center, k, Q = _radio_setup(m_est=30)
-    base = dict(n_particles=12, resampling="systematic")
-    args = (
-        model, data.dx, data.y, data.init_state,
-        jnp.zeros(basis.m), jnp.diag(k), Q,
-        jnp.array([[THETA[2]]]), 1.0,
-    )
-    res_a = run_rbpf(jax.random.PRNGKey(1), *args, RBPFConfig(**base))
-    res_b = run_rbpf(
-        jax.random.PRNGKey(1), *args, RBPFConfig(**base, use_fused_kf=True)
-    )
-    assert res_b.xl.shape == res_a.xl.shape
-    assert res_b.P.shape == res_a.P.shape
-    np.testing.assert_allclose(
-        np.asarray(res_a.traj_mean), np.asarray(res_b.traj_mean), atol=1e-4
-    )
-    np.testing.assert_allclose(
-        np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-3
-    )
-
-
-def test_rbpf_with_fused_kf_equivalent():
-    """Full filter run: fused path == XLA path on the radio workload."""
-    data, model, basis, center, k, Q = _radio_setup()
-    base = dict(n_particles=16, resampling="systematic")
-    args = (
-        model, data.dx, data.y, data.init_state,
-        jnp.zeros(basis.m), jnp.diag(k), Q,
-        jnp.array([[THETA[2]]]), 1.0,
-    )
-    res_a = run_rbpf(jax.random.PRNGKey(0), *args, RBPFConfig(**base))
-    res_b = run_rbpf(
-        jax.random.PRNGKey(0), *args,
-        RBPFConfig(**base, use_fused_kf=True),
-    )
-    np.testing.assert_allclose(
-        np.asarray(res_a.traj_mean), np.asarray(res_b.traj_mean), atol=1e-4
-    )
-    np.testing.assert_allclose(
-        np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-3
+        Sinv, inv_ref, atol=5e-3 * np.abs(inv_ref).max()
     )
 
 
 @pytest.mark.parametrize("ny", [1, 2, 3])
-def test_block_kernel_matches_reference(ny):
-    from rbslam_tpu.kernels.kf_update import kf_update_block
+def test_spd_inv_logdet_repairs_indefinite(ny):
+    """Indefinite / zero S: flagged bad, Gershgorin-shifted, and ALWAYS
+    finite (a single NaN particle would poison the ensemble logsumexp)."""
+    from rbslam_tpu.kernels.kf_update import _spd_inv_logdet
 
-    ai, C, P, xl, y, R = _problem(ny=ny)
-    Pg = jnp.take(P, ai, axis=0)
-    xlg = jnp.take(xl, ai, axis=0)
-    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
-    out = kf_update_block(C, Pg, xlg, y, R)
-    np.testing.assert_allclose(out[0], ref[0], atol=1e-5)
-    np.testing.assert_allclose(out[1], ref[1], atol=1e-5)
-    np.testing.assert_allclose(out[2], ref[2], atol=1e-5)
-
-
-def test_block_kernel_bf16_storage():
-    from rbslam_tpu.kernels.kf_update import kf_update_block
-
-    ai, C, P, xl, y, R = _problem(nl=32)
-    P = P.astype(jnp.bfloat16)
-    Pg = jnp.take(P, ai, axis=0)
-    xlg = jnp.take(xl, ai, axis=0)
-    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
-    out = kf_update_block(C, Pg, xlg, y, R)
-    assert out[1].dtype == jnp.bfloat16
-    np.testing.assert_allclose(out[0], ref[0], atol=5e-2)
-    np.testing.assert_allclose(
-        out[1].astype(jnp.float32), ref[1].astype(jnp.float32), atol=5e-2
-    )
-    np.testing.assert_allclose(out[2], ref[2], atol=5e-1)
-
-
-def test_rbpf_block_kernel_equivalent():
-    """Full filter run: kf_kernel='block' == XLA path on the radio workload."""
-    data, model, basis, center, k, Q = _radio_setup()
-    base = dict(n_particles=16, resampling="systematic",
-                symmetrize_cov=False)
-    args = (
-        model, data.dx, data.y, data.init_state,
-        jnp.zeros(basis.m), jnp.diag(k), Q,
-        jnp.array([[THETA[2]]]), 1.0,
-    )
-    res_a = run_rbpf(jax.random.PRNGKey(0), *args, RBPFConfig(**base))
-    res_b = run_rbpf(
-        jax.random.PRNGKey(0), *args,
-        RBPFConfig(**base, kf_kernel="block"),
-    )
-    np.testing.assert_allclose(
-        np.asarray(res_a.traj_mean), np.asarray(res_b.traj_mean), atol=1e-4
-    )
-    np.testing.assert_allclose(
-        np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-3
-    )
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(32, ny, ny)).astype(np.float32)
+    S_indef = A @ A.transpose(0, 2, 1) - 5.0 * np.eye(ny, dtype=np.float32)
+    for S in (S_indef, np.zeros((8, ny, ny), np.float32)):
+        Sinv, logdet, bad = map(
+            np.asarray, _spd_inv_logdet(jnp.asarray(S), ny, 1e-3)
+        )
+        assert np.isfinite(Sinv).all()
+        assert np.isfinite(logdet).all()
+        assert bad.any()
 
 
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
@@ -188,6 +89,20 @@ def test_block_gather_kernel_matches_reference(dtype):
         out[1].astype(jnp.float32), ref[1].astype(jnp.float32), atol=tol
     )
     np.testing.assert_allclose(out[2], ref[2], atol=10 * tol)
+
+
+@pytest.mark.parametrize("ny", [1, 2])
+def test_block_gather_small_ny(ny):
+    from rbslam_tpu.kernels.kf_update import kf_update_block_gather
+
+    ai, C, P, xl, y, R = _problem(ny=ny, nl=128)
+    Pg = jnp.take(P, ai, axis=0)
+    xlg = jnp.take(xl, ai, axis=0)
+    ref = kalman_update_dense_batched(C, Pg, xlg, y, R, 1e-3)
+    out = kf_update_block_gather(ai, C, xlg, P, y, R)
+    np.testing.assert_allclose(out[0], ref[0], atol=1e-4)
+    np.testing.assert_allclose(out[1], ref[1], atol=1e-5)
+    np.testing.assert_allclose(out[2], ref[2], atol=1e-4)
 
 
 def test_rbpf_block_gather_equivalent():
@@ -212,6 +127,50 @@ def test_rbpf_block_gather_equivalent():
     np.testing.assert_allclose(
         np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-3
     )
+
+
+def test_kernel_paths_reject_masked_y():
+    """NaN-masked observations must be rejected on kernel paths (they
+    have no mask support and would silently treat NaN as y=0 — ADVICE
+    round 3); the xla path handles the same input via the masked
+    update."""
+    data, model, basis, center, k, Q = _radio_setup()
+    y_nan = np.asarray(data.y).copy()
+    y_nan[3, 0] = np.nan
+    args = (
+        model, data.dx, jnp.asarray(y_nan), data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    for kern in ("block_gather", "lowrank"):
+        with pytest.raises(ValueError, match="NaN"):
+            run_rbpf(
+                jax.random.PRNGKey(0), *args,
+                RBPFConfig(n_particles=8, kf_kernel=kern,
+                           symmetrize_cov=False),
+            )
+    # explicit non-trivial mask is rejected too
+    mask = jnp.ones_like(data.y).at[2, 0].set(0.0)
+    with pytest.raises(ValueError, match="mask"):
+        run_rbpf(
+            jax.random.PRNGKey(0), model, data.dx, data.y,
+            data.init_state, jnp.zeros(basis.m), jnp.diag(k), Q,
+            jnp.array([[THETA[2]]]), 1.0,
+            RBPFConfig(n_particles=8, kf_kernel="block_gather",
+                       symmetrize_cov=False),
+            mask=mask,
+        )
+
+
+def test_unknown_kf_kernel_rejected():
+    data, model, basis, center, k, Q = _radio_setup()
+    with pytest.raises(ValueError, match="kf_kernel"):
+        run_rbpf(
+            jax.random.PRNGKey(0), model, data.dx, data.y,
+            data.init_state, jnp.zeros(basis.m), jnp.diag(k), Q,
+            jnp.array([[THETA[2]]]), 1.0,
+            RBPFConfig(n_particles=8, kf_kernel="block"),
+        )
 
 
 @pytest.mark.parametrize("ny", [1, 2, 3])
@@ -296,4 +255,29 @@ def test_rbpf_lowrank_equivalent():
     )
     np.testing.assert_allclose(
         np.asarray(res_a.P_mean), np.asarray(res_b.P_mean), atol=5e-3
+    )
+
+
+def test_rbpf_lowrank_T1_falls_back():
+    """T == 1 (zero scan steps) used to crash the lowrank path on an
+    empty outs concat (ADVICE round 3); it now routes through the
+    generic scan and matches the XLA path."""
+    data, model, basis, center, k, Q = _radio_setup()
+    base = dict(n_particles=8, resampling="systematic",
+                symmetrize_cov=False)
+    Q1 = Q[:0] if jnp.asarray(Q).ndim == 3 else Q
+    args = (
+        model, data.dx[:0], data.y[:1], data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q1,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    res_a = run_rbpf(jax.random.PRNGKey(0), *args, RBPFConfig(**base))
+    res_b = run_rbpf(
+        jax.random.PRNGKey(0), *args, RBPFConfig(**base, kf_kernel="lowrank")
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.logw), np.asarray(res_b.logw), atol=1e-5
     )
