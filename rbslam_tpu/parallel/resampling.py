@@ -21,13 +21,30 @@ collectives (no GSPMD inference):
   cumsum, every shard computes its own children's ancestors from the
   identical replicated CDF. Bitwise-identical to the single-device
   resampler — the sharding-equivalence gate.
-- ``prefix``: the scalable form — per-shard weight sums are
-  all-gathered (S floats, S = #shards), the exclusive prefix over
-  shards offsets each local cumsum into a global CDF *segment*, and
-  each shard answers inverse-CDF queries only for comb positions that
-  land in its segment; answers are combined with a psum (each child's
-  ancestor is found by exactly one shard). Communication: O(S) floats
-  for the offsets + one [N] int psum — no replicated weight vector.
+- ``prefix``: per-shard weight sums are all-gathered (S floats,
+  S = #shards); every shard holds the IDENTICAL segment-boundary array,
+  so query ownership is decided by one ``searchsorted`` against it —
+  exactly one owner per comb position by construction (independent
+  per-shard interval tests are fp-inconsistent: a query could fall in a
+  gap or an overlap between two shards' locally-computed bounds). The
+  owner answers with its local inverse CDF in global coordinates, and
+  the answers reach the shard that owns each *child* via one
+  ``psum_scatter`` — each shard receives exactly its [N/S] slice (half
+  the payload of the psum+slice it replaces). Index-for-index equal to
+  the single-device resampler.
+- ``local``: the O(1)-collective island form — zero resampling
+  collectives beyond the weight normalization the filter already does.
+  Each shard systematically resamples its n_local children from its OWN
+  local particles and the children carry the shard's aggregate weight
+  (logw = log W_o - log n_local) instead of the global uniform reset.
+  Unbiased (E[#children of i] * child weight = w_i exactly), but NOT
+  equal to single-device systematic draw-for-draw, and shard aggregate
+  weights can degenerate over time — the engine surfaces ESS; pair with
+  a periodic global resample when W_o skews. The exact modes move O(N)
+  index payload because exact global systematic ancestry cannot be
+  derived child-locally: the within-segment inverse CDF lives only on
+  the owning shard. ``local`` is the crossing-particle-free scaling
+  mode; ``prefix`` is the exact mode with minimal index routing.
 """
 
 from __future__ import annotations
@@ -91,29 +108,86 @@ def sharded_resample_indices(key, w, mesh: Mesh, scheme: str = "systematic",
             local_sum = jnp.sum(w_local)
             sums = jax.lax.all_gather(local_sum, _AXIS)        # [S]
             total = jnp.sum(sums)
-            off = jnp.sum(
-                jnp.where(jnp.arange(n_shards) < idx, sums, 0.0)
-            )
-            # this shard's global CDF segment [off, off + local_sum)
-            cdf_seg = off + jnp.cumsum(w_local)
+            # IDENTICAL boundary array on every shard (all_gather order
+            # is deterministic) -> ownership by searchsorted is unique
+            # by construction: no fp gaps/overlaps between shards'
+            # independently-computed interval tests.
+            bounds = jnp.cumsum(sums)                          # [S]
+            excl = jnp.concatenate([jnp.zeros((1,), dtype), bounds[:-1]])
+            off = jax.lax.dynamic_slice(excl, (idx,), (1,))[0]
             u = _comb(key, n, scheme, dtype) * total            # [N] global
-            # answer only queries landing in our segment; elsewhere 0
-            in_seg = (u >= off) & (u < off + local_sum)
-            local_ai = jnp.searchsorted(cdf_seg, u, side="right")
+            owner = jnp.clip(
+                jnp.searchsorted(bounds, u, side="right"), 0, n_shards - 1
+            )
+            mine = owner == idx
+            # within-segment inverse CDF in global coordinates
+            cdf_seg = off + jnp.cumsum(w_local)
+            local_ai = jnp.clip(
+                jnp.searchsorted(cdf_seg, u, side="right"), 0, n_local - 1
+            )
             ai_partial = jnp.where(
-                in_seg, idx * n_local + local_ai, 0
+                mine, idx * n_local + local_ai, 0
             ).astype(jnp.int32)
-            # each query is answered by exactly one shard -> psum merges
-            ai = jax.lax.psum(ai_partial, _AXIS)
-            # queries beyond the last CDF entry (fp rounding) -> clamp
-            ai = jnp.where(u >= total, n - 1, ai)
-            ai = jnp.clip(ai, 0, n - 1)
-            return jax.lax.dynamic_slice(ai, (idx * n_local,), (n_local,))
+            # exactly one shard answers each query; psum_scatter merges
+            # AND delivers each shard its own [n_local] child slice —
+            # half the payload of psum + dynamic_slice
+            ai = jax.lax.psum_scatter(
+                ai_partial, _AXIS, scatter_dimension=0, tiled=True
+            )
+            return jnp.clip(ai, 0, n - 1)
 
     else:
         raise ValueError(f"unknown distributed resampling mode {mode!r}")
 
     return jax.shard_map(
         inner, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False,
+    )(w)
+
+
+def sharded_resample_local(key, w, mesh: Mesh, scheme: str = "systematic"):
+    """Island resampling: O(1) collective payload, zero crossing particles.
+
+    Each shard draws its n_local children from its OWN local particles
+    by a local inverse-CDF comb (per-shard key fold), and the children
+    inherit the shard's aggregate weight: logw' = log W_o - log n_local.
+    The subsequent ancestor gather is purely shard-local — no particle
+    states ever cross shards, and no index collective runs at all.
+
+    Unbiased: E[#children of particle i] * child weight
+    = n_local (w_i / W_o) * (W_o / n_local) = w_i — each particle's
+    posterior mass is exactly preserved in expectation (the island /
+    RNA distributed-PF scheme; reference semantics per island are
+    tools/sample.m:30-33). NOT draw-for-draw equal to single-device
+    systematic resampling; shard aggregate weights W_o are carried in
+    the children's log-weights instead of being equalized, so a shard
+    whose region loses posterior mass decays — monitor ESS and trigger
+    a global (``prefix``/``replicated_cdf``) resample when skewed.
+
+    Returns (ai [N] int32 global indices, each shard's in its own
+    range; logw_prev [N] the post-resample log-weights to accumulate
+    from — replaces the global -log N uniform reset).
+    """
+    spec = P(_AXIS)
+    dtype = w.dtype
+
+    def inner(w_local):
+        n_local = w_local.shape[0]
+        idx = jax.lax.axis_index(_AXIS)
+        W = jnp.sum(w_local)
+        Wsafe = jnp.maximum(W, jnp.asarray(1e-38, dtype))
+        u = _comb(jax.random.fold_in(key, idx), n_local, scheme, dtype)
+        cdf = jnp.cumsum(w_local)
+        local_ai = jnp.clip(
+            jnp.searchsorted(cdf, u * Wsafe, side="right"), 0, n_local - 1
+        )
+        ai = (idx * n_local + local_ai).astype(jnp.int32)
+        logw_prev = jnp.full(
+            (n_local,), 0.0, dtype
+        ) + (jnp.log(Wsafe) - jnp.log(n_local))
+        return ai, logw_prev
+
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec),
         check_vma=False,
     )(w)

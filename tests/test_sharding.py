@@ -117,6 +117,72 @@ def test_sharded_resampler_matches_single_device(scheme, mode):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_local_island_resampler_mass_preserving():
+    """O(1)-collective island mode: children stay on their shard, carry
+    the shard aggregate weight, and preserve each particle's posterior
+    mass in expectation (unbiasedness of the RNA/island scheme)."""
+    from rbslam_tpu.parallel.resampling import sharded_resample_local
+
+    mesh = make_mesh(8, 1, devices=jax.devices()[:8])
+    n, n_local = 256, 32
+    w = jax.random.uniform(jax.random.PRNGKey(5), (n,))
+    w = w / w.sum()
+    # structural properties for one draw
+    ai, logw_prev = sharded_resample_local(jax.random.PRNGKey(0), w, mesh)
+    ai, logw_prev = np.asarray(ai), np.asarray(logw_prev)
+    shard_of = np.arange(n) // n_local
+    assert (ai // n_local == shard_of).all(), "children crossed shards"
+    # child weights sum to the total mass (= 1)
+    np.testing.assert_allclose(np.exp(logw_prev).sum(), 1.0, rtol=1e-5)
+    # per-shard aggregate weight carried exactly
+    W = np.asarray(w).reshape(8, n_local).sum(-1)
+    np.testing.assert_allclose(
+        np.exp(logw_prev).reshape(8, n_local).sum(-1), W, rtol=1e-5
+    )
+    # unbiasedness: E[#children of i] * child weight == w_i
+    mass = np.zeros(n)
+    n_draws = 200
+    for d in range(n_draws):
+        ai_d, lw_d = sharded_resample_local(
+            jax.random.PRNGKey(100 + d), w, mesh
+        )
+        np.add.at(mass, np.asarray(ai_d), np.exp(np.asarray(lw_d)))
+    mass /= n_draws
+    np.testing.assert_allclose(mass, np.asarray(w), atol=3e-3)
+
+
+def test_rbpf_mesh_local_resampling_runs():
+    """The engine under dist_resampling='local': finite, sharded, and
+    statistically consistent with the unsharded filter (the island
+    sampler is unbiased but not draw-for-draw equal)."""
+    from rbslam_tpu.engines import RBPFConfig, run_rbpf
+    from test_rbpf import THETA, _radio_setup
+
+    data, model, basis, center, k, Q = _radio_setup()
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    key = jax.random.PRNGKey(4)
+    mesh = make_mesh(8, 1, devices=jax.devices()[:8])
+    cfg_l = RBPFConfig(n_particles=64, resampling="systematic",
+                       dist_resampling="local")
+    r_l = run_rbpf(key, *args, cfg_l, mesh=mesh)
+    assert bool(jnp.all(jnp.isfinite(r_l.logw)))
+    assert bool(jnp.all(jnp.isfinite(r_l.traj_mean)))
+    # island children never leave their shard
+    n_local = 64 // 8
+    anc = np.asarray(r_l.ancestors)
+    child_shard = np.arange(64) // n_local
+    assert (anc // n_local == child_shard[None, :]).all()
+    # same-config global filter agrees on the trajectory to sampler noise
+    cfg_g = RBPFConfig(n_particles=64, resampling="systematic")
+    r_g = run_rbpf(key, *args, cfg_g)
+    err = float(jnp.max(jnp.abs(r_l.traj_mean - r_g.traj_mean)))
+    assert err < 0.5, f"island filter diverged from global: {err}"
+
+
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
 def test_full_rbpf_mesh_matches_single_device(mesh_shape):
     """The FULL filter engine (ancestors, trajectories, log-evidence,
@@ -181,7 +247,7 @@ def test_rbpf_mesh_rejects_pallas_kernels():
     from test_rbpf import THETA, _radio_setup
 
     data, model, basis, center, k, Q = _radio_setup()
-    cfg = RBPFConfig(n_particles=16, kf_kernel="block")
+    cfg = RBPFConfig(n_particles=16, kf_kernel="block_gather")
     mesh = make_mesh(8, 1, devices=jax.devices()[:8])
     with pytest.raises(ValueError, match="single-device"):
         run_rbpf(
@@ -189,6 +255,50 @@ def test_rbpf_mesh_rejects_pallas_kernels():
             data.init_state, jnp.zeros(basis.m), jnp.diag(k), Q,
             jnp.array([[THETA[2]]]), 1.0, cfg, mesh=mesh,
         )
+
+
+@pytest.mark.parametrize("n_map", [2, 4])
+def test_woodbury_rowsharded_matches_unsharded(n_map):
+    """Explicit map-axis Schur block reduction: the row-sharded Woodbury
+    rank-ny chain and the ancestor-weight quadratic equal the unsharded
+    forms element-for-element (SURVEY §2.4 map-axis MP; reference
+    semantics src/particleSmootherInformationForm.m:224-236)."""
+    from rbslam_tpu.engines.rbps_info import _woodbury_rank_ny
+    from rbslam_tpu.parallel.map_axis import (
+        quad_form_rowsharded,
+        woodbury_rank_ny_rowsharded,
+    )
+
+    mesh = make_mesh(8 // n_map, n_map, devices=jax.devices()[:8])
+    wood_sh = woodbury_rank_ny_rowsharded(mesh)
+    quad_sh = quad_form_rowsharded(mesh)
+
+    key = jax.random.PRNGKey(0)
+    n_p, nl, ny = 8, 64, 3
+    A = 0.2 * jax.random.normal(key, (n_p, nl, nl))
+    M = jnp.einsum("pij,pkj->pik", A, A) + 3.0 * jnp.eye(nl)
+    W = jnp.linalg.inv(M)
+    hldM = 0.5 * jnp.linalg.slogdet(M)[1]
+    W_sh, hldM_sh = W, hldM
+    for i in range(4):
+        U = 0.4 * jax.random.normal(jax.random.fold_in(key, i), (n_p, nl, ny))
+        sign = 1.0 if i % 2 == 0 else -1.0
+        if sign < 0:
+            U = 0.2 * U
+        W, hldM, r1 = _woodbury_rank_ny(W, hldM, U, sign, 1e-9)
+        W_sh, hldM_sh, r2 = wood_sh(W_sh, hldM_sh, U, sign)
+        assert not bool(jnp.any(r2))
+    np.testing.assert_allclose(
+        np.asarray(W_sh), np.asarray(W), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(hldM_sh), np.asarray(hldM), rtol=1e-5
+    )
+    v = jax.random.normal(jax.random.PRNGKey(5), (n_p, nl))
+    q_ref = jnp.einsum("pi,pij,pj->p", v, W, v)
+    np.testing.assert_allclose(
+        np.asarray(quad_sh(v, W_sh)), np.asarray(q_ref), rtol=1e-4
+    )
 
 
 def test_hybrid_mesh_single_process():
