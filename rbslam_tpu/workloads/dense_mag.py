@@ -60,7 +60,7 @@ class DenseMagConfig:
     seed: int = 1
     cov_dtype: str = "float32"
     symmetrize_cov: bool = True
-    ancestor_form: str = "cholesky"
+    ancestor_form: str = "woodbury"
 
 
 def build_problem(cfg: DenseMagConfig, key):
@@ -267,7 +267,7 @@ def main(argv=None):
     ap.add_argument("--no-symmetrize", action="store_true",
                     help="skip the per-step covariance re-symmetrization "
                          "pass (the reference filter's own semantics)")
-    ap.add_argument("--ancestor-form", default="cholesky",
+    ap.add_argument("--ancestor-form", default="woodbury",
                     choices=["cholesky", "woodbury"],
                     help="info-form ancestor weights: per-step nl^3 "
                          "factorization vs rank-ny inverse maintenance")

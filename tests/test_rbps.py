@@ -84,7 +84,7 @@ def test_rbps_info_bf16_covariance():
     cfg32 = RBPSConfig(n_particles=30, n_sweeps=3)
     cfg16 = cfg32._replace(cov_dtype="bfloat16")
     r32, r16 = [], []
-    for seed in (8, 18, 28):
+    for seed in (8, 18, 28, 38, 48):
         res32 = run_rbps_information_form(
             jax.random.PRNGKey(seed), *args, cfg32
         )
@@ -98,10 +98,11 @@ def test_rbps_info_bf16_covariance():
             jnp.asarray(data.pos), res16.XNK[-1, :, :2])))
     assert np.all(np.isfinite(r16)), r16
     # distribution-level gate at signal scale (means ~0.05-0.2 m): the
-    # multi-seed mean RMSEs must agree to 50% relative + 0.02 m, far
-    # tighter than any single-seed absolute bound
+    # 5-seed mean RMSEs must agree to 1/3 relative + 0.015 m — a 1.5x
+    # regression of the bf16 carry fails this
     m32, m16 = np.mean(r32), np.mean(r16)
-    assert abs(m32 - m16) < 0.5 * max(m32, m16) + 0.02, (r32, r16)
+    assert abs(m32 - m16) < max(m32, m16) / 3.0 + 0.015, (r32, r16)
+    assert min(r32) < max(r16) and min(r16) < max(r32), (r32, r16)
 
 
 def test_woodbury_rank_ny_matches_fresh_inverse():
@@ -142,10 +143,10 @@ def test_rbps_info_woodbury_matches_cholesky():
         jnp.zeros(basis.m), jnp.diag(k), Q,
         jnp.array([[THETA[2]]]), 1.0,
     )
-    cfg_c = RBPSConfig(n_particles=30, n_sweeps=3)
-    cfg_w = cfg_c._replace(ancestor_form="woodbury")
+    cfg_w = RBPSConfig(n_particles=30, n_sweeps=3)  # woodbury is default
+    cfg_c = cfg_w._replace(ancestor_form="cholesky")
     r_c, r_w = [], []
-    for seed in (9, 19, 29):
+    for seed in (9, 19, 29, 39, 49):
         res_c = run_rbps_information_form(
             jax.random.PRNGKey(seed), *args, cfg_c
         )
@@ -164,8 +165,13 @@ def test_rbps_info_woodbury_matches_cholesky():
                 atol=1e-5,
             )
     assert np.all(np.isfinite(r_w)), r_w
+    # multi-seed distribution gate: a 1.5x RMSE regression between the
+    # ancestor forms fails this (5-seed means to 1/3 relative + 0.015 m)
     m_c, m_w = np.mean(r_c), np.mean(r_w)
-    assert abs(m_c - m_w) < 0.5 * max(m_c, m_w) + 0.02, (r_c, r_w)
+    assert abs(m_c - m_w) < max(m_c, m_w) / 3.0 + 0.015, (r_c, r_w)
+    # and the per-seed samples must interleave (not two separated
+    # clusters): each form's best seed beats the other form's worst
+    assert min(r_c) < max(r_w) and min(r_w) < max(r_c), (r_c, r_w)
 
 
 def test_rbps_info_matches_naive_statistically():
@@ -179,7 +185,7 @@ def test_rbps_info_matches_naive_statistically():
         jnp.array([[THETA[2]]]), 1.0, cfg,
     )
     r_naive, r_info = [], []
-    for seed in (6, 16, 26):
+    for seed in (6, 16, 26, 36, 46):
         res_naive = run_rbps(jax.random.PRNGKey(seed), *args)
         res_info = run_rbps_information_form(
             jax.random.PRNGKey(seed), *args
@@ -190,7 +196,10 @@ def test_rbps_info_matches_naive_statistically():
             jnp.asarray(data.pos), res_info.XNK[-1, :, :2])))
     assert np.all(np.isfinite(r_naive)) and np.all(np.isfinite(r_info))
     m_n, m_i = np.mean(r_naive), np.mean(r_info)
-    assert abs(m_n - m_i) < 0.5 * max(m_n, m_i) + 0.02, (r_naive, r_info)
+    assert abs(m_n - m_i) < max(m_n, m_i) / 3.0 + 0.015, (r_naive, r_info)
+    assert min(r_naive) < max(r_info) and min(r_info) < max(r_naive), (
+        r_naive, r_info,
+    )
 
 
 def test_sparse_ancestor_weights_match_direct_stacked():
