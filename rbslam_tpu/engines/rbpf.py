@@ -506,9 +506,18 @@ def _run_rbpf(
                     xn_new = jax.vmap(
                         lambda kk, x: model.dynamics(kk, x, u, dt_t, Q_t)
                     )(dyn_keys, xn_a)
-                C = _pad_cols(_jacobian_batch(model, xn_new), nl_pad)
+                if model.meas_jacobian_batch_t is not None:
+                    # one fused kernel emits the full Jacobian in the
+                    # transposed [ny, N, nl] layout — no [N, 3, nl]
+                    # sublane-padded intermediates, no transposes
+                    Ct = model.meas_jacobian_batch_t(xn_new, nl_pad)
+                else:
+                    Ct = jnp.swapaxes(
+                        _pad_cols(_jacobian_batch(model, xn_new), nl_pad),
+                        0, 1,
+                    )
                 xl_new, wnew, logw, retried_b = kf_update_lowrank(
-                    bidx_n, C, xl_a, Wt_g, P_base, y_t, R, config.jitter
+                    bidx_n, Ct, xl_a, Wt_g, P_base, y_t, R, config.jitter
                 )
                 Wt_new = jax.lax.dynamic_update_slice(
                     Wt_g, wnew.astype(Wt_g.dtype), (0, ny * phase, 0)

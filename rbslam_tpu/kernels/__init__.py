@@ -1,6 +1,10 @@
 """Pallas TPU kernels (dense RBPF hot path + basis evaluation)."""
 
-from .basis_eval import grad_basis_pallas, phi_basis_pallas
+from .basis_eval import (
+    grad_basis_pallas,
+    mag3d_jacobian_pallas,
+    phi_basis_pallas,
+)
 from .kf_update import (
     kf_rebase,
     kf_update_block_gather,
@@ -8,6 +12,6 @@ from .kf_update import (
 )
 
 __all__ = [
-    "grad_basis_pallas", "phi_basis_pallas",
+    "grad_basis_pallas", "mag3d_jacobian_pallas", "phi_basis_pallas",
     "kf_rebase", "kf_update_block_gather", "kf_update_lowrank",
 ]

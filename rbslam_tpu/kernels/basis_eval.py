@@ -81,6 +81,95 @@ def _grad_kernel(d: int, xT_ref, nn_ref, scale_ref, out_ref):
         out_ref[i, :, :] = scale * prod
 
 
+def _jac3d_kernel(xT_ref, nn_ref, scale_ref, out_ref):
+    """One (3, TN, TM) tile of the FULL mag3d measurement Jacobian
+    C = R(q)^T [I3 | grad_phi] (run_dense3D_magfield.m:265-279): the trig
+    products, the prepended linear-kernel identity block, and the
+    body-frame rotation all fused — one write of C, no intermediate
+    [N, 3, m] HBM tensors, no transposes, no sublane-padded buffers.
+
+    xT_ref [8, TN]: rows 0-2 centered position, rows 3-6 unit quaternion.
+    nn_ref [12, TM]: rows 0-2 freq, 3-5 phase, 6-8 fac, 9-11 onehot (the
+    identity columns; zero for trig columns — see _pack_jac_constants).
+    out layout [3, N, nl]: k-th row block is output component k for all
+    points — leading-axis writes only (the Mosaic-safe pattern; sublane
+    slicing miscompiles on this toolchain, NEGATIVE_RESULTS.md).
+    """
+    sins = []
+    coss = []
+    for j in range(3):
+        a = (
+            xT_ref[j, :][:, None] * nn_ref[j, :][None, :]
+            + nn_ref[3 + j, :][None, :]
+        )
+        sins.append(jnp.sin(a))
+        coss.append(jnp.cos(a))
+    scale = scale_ref[0, 0]
+    g = []
+    for i in range(3):
+        prod = nn_ref[6 + i, :][None, :] * coss[i]
+        for j in range(3):
+            if j != i:
+                prod = prod * sins[j]
+        # onehot added unscaled: identity block of the linear kernel
+        g.append(scale * prod + nn_ref[9 + i, :][None, :])
+    q0 = xT_ref[3, :][:, None]
+    q1 = xT_ref[4, :][:, None]
+    q2 = xT_ref[5, :][:, None]
+    q3 = xT_ref[6, :][:, None]
+    # R rows (math/quaternions.py::quat_to_rmat); C_k = sum_i R[i,k] g_i
+    R = (
+        (q0 * q0 + q1 * q1 - q2 * q2 - q3 * q3,
+         2.0 * (q1 * q2 - q0 * q3),
+         2.0 * (q1 * q3 + q0 * q2)),
+        (2.0 * (q1 * q2 + q0 * q3),
+         q0 * q0 - q1 * q1 + q2 * q2 - q3 * q3,
+         2.0 * (q2 * q3 - q0 * q1)),
+        (2.0 * (q1 * q3 - q0 * q2),
+         2.0 * (q2 * q3 + q0 * q1),
+         q0 * q0 - q1 * q1 - q2 * q2 + q3 * q3),
+    )
+    for k in range(3):
+        out_ref[k, :, :] = (
+            R[0][k] * g[0] + R[1][k] * g[1] + R[2][k] * g[2]
+        )
+
+
+@jax.jit
+def _jac3d_call(xT_pad, nn_pack, scale):
+    n_pad = xT_pad.shape[1]
+    m_pad = nn_pack.shape[1]
+    grid = (n_pad // _TN, m_pad // _TM)
+    return pl.pallas_call(
+        _jac3d_kernel,
+        out_shape=jax.ShapeDtypeStruct((3, n_pad, m_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, _TN), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, _TM), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((3, _TN, _TM), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(xT_pad, nn_pack, scale)
+
+
+def _pack_jac_constants(NN, L, nl_pad):
+    """[12, nl_pad]: columns 0-2 the linear/identity block (freq=phase=
+    fac=0, onehot=I3), columns 3..3+m-1 the eigenbasis gradient constants,
+    columns beyond 3+m zero everywhere (padding evaluates to 0)."""
+    base = _pack_constants(NN, L)            # [9, m]
+    m = base.shape[1]
+    out = np.zeros((12, nl_pad), np.float32)
+    out[:9, 3:3 + m] = base
+    out[9:12, :3] = np.eye(3, dtype=np.float32)
+    return out
+
+
 def _pack_constants(NN, L):
     """Rows: freq [d, m], phase [d, m], fac [d, m] -> [3d, m] float32."""
     NN = np.asarray(NN, np.float64)
@@ -205,3 +294,46 @@ def grad_basis_pallas(basis, x):
     out = _grad_call(xT_pad, jnp.asarray(bk.nn_pack),
                       jnp.asarray(bk.scale), bk.d)
     return jnp.transpose(out[:, :n, : bk.m], (1, 0, 2))
+
+
+_JAC_CACHE: dict = {}
+
+
+def _jac_constants_for(basis, nl_pad):
+    key = (
+        basis.m, nl_pad,
+        np.asarray(basis.L).tobytes(),
+        np.asarray(basis.NN).tobytes(),
+    )
+    if key not in _JAC_CACHE:
+        _JAC_CACHE[key] = _pack_jac_constants(basis.NN, basis.L, nl_pad)
+    return _JAC_CACHE[key]
+
+
+def mag3d_jacobian_pallas(basis, pos, quat, nl_pad):
+    """Fused mag3d measurement Jacobian, transposed layout.
+
+    pos [N, 3] (already centered), quat [N, 4] unit quaternions ->
+    Ct [3, N, nl_pad] f32 with Ct[k, p, :] = (R(q_p)^T [I3|grad_phi])_k.
+    Requires basis.d == 3 and nl_pad a multiple of the 128-lane tile;
+    columns beyond 3 + basis.m are zero. The [3, N, nl] layout tiles
+    perfectly (no sublane padding of a size-3 axis) and is what the
+    lowrank KF kernel consumes directly (kernels/kf_update.py).
+    """
+    if basis.d != 3:
+        raise ValueError("mag3d_jacobian_pallas requires a 3-D basis")
+    if nl_pad % _TM:
+        raise ValueError(f"nl_pad={nl_pad} must be a multiple of {_TM}")
+    if nl_pad < 3 + basis.m:
+        raise ValueError(f"nl_pad={nl_pad} < 3 + m = {3 + basis.m}")
+    n = pos.shape[0]
+    n_pad = -(-n // _TN) * _TN
+    xT = jnp.concatenate(
+        [jnp.asarray(pos, jnp.float32).T, jnp.asarray(quat, jnp.float32).T],
+        axis=0,
+    )                                                  # [7, N]
+    xT = _pad_axis(_pad_axis(xT, 8, 0), n_pad, 1)
+    nn = _jac_constants_for(basis, nl_pad)
+    bk = _kernels_for(basis)
+    out = _jac3d_call(xT, jnp.asarray(nn), jnp.asarray(bk.scale))
+    return out[:, :n, :]

@@ -454,7 +454,7 @@ def _kernel_gather_cp(ny: int, block: int,
                       P_base_hbm,
                       cp_ref,
                       pbuf, sems):
-    """Gather-fused CP contraction: CP[b] = C[b] @ P_base[bidx[b]].
+    """Gather-fused CP contraction: CP[b] = Ct[:, b, :] @ P_base[bidx[b]].
 
     The ONLY heavy op of the factored update — the per-particle ancestor
     row rides lookahead double-buffered DMAs (P_base is read-only between
@@ -494,6 +494,11 @@ def _kernel_gather_cp(ny: int, block: int,
         ).wait()
 
     P = pbuf[slot]
+    # NOTE: C must arrive [block, ny, nl] — Mosaic's tpu.matmul requires
+    # lhs/rhs batch dims at the same axis index (a [ny, block, nl] lhs
+    # fails "batch dims must be equal") and rejects batched GEMV (empty
+    # lhs_non_contracting_dims), so the transposed-C layouts cannot feed
+    # this dot directly; the caller pays one XLA transpose instead.
     cp_ref[...] = jax.lax.dot_general(
         C_ref[...].astype(P.dtype), P, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -530,12 +535,15 @@ def _gather_cp_call(bidx, C, P_base, ny, nl, block, interpret):
     )(bidx, C, P_base)[0]
 
 
-def kf_update_lowrank(bidx, C, xl_gathered, Wt_gathered, P_base, y, R,
+def kf_update_lowrank(bidx, Ct, xl_gathered, Wt_gathered, P_base, y, R,
                       jitter: float = 1e-3, block: int = 64):
     """Factored dense KF update: covariance P = P_base - Wt^T Wt.
 
-    bidx [N] int32 ancestor-composed base indices into P_base; C
-    [N, ny, nl] Jacobians at the propagated particles; xl_gathered
+    bidx [N] int32 ancestor-composed base indices into P_base; Ct
+    [ny, N, nl] Jacobians at the propagated particles in TRANSPOSED
+    layout (the size-3 axis leading so no buffer in the chain carries
+    3->8 sublane padding; produced directly by the fused Jacobian
+    kernel, basis_eval.py::mag3d_jacobian_pallas); xl_gathered
     [N, nl]; Wt_gathered [N, rw, nl] accumulated factor rows (already
     resampled; zero rows are inactive and contribute nothing); P_base
     [N, nl, nl] the last rebased covariances (read-only between rebases).
@@ -554,7 +562,7 @@ def kf_update_lowrank(bidx, C, xl_gathered, Wt_gathered, P_base, y, R,
         _tri_solve_small_batched,
     )
 
-    n, ny, nl = C.shape
+    ny, n, nl = Ct.shape
     if ny > 3:
         raise ValueError("lowrank KF kernel supports ny <= 3")
     if nl % 128:
@@ -567,20 +575,24 @@ def kf_update_lowrank(bidx, C, xl_gathered, Wt_gathered, P_base, y, R,
         block //= 2
         bytes_blk //= 2
     interpret = jax.default_backend() != "tpu"
-    C = C.astype(jnp.float32)
+    Ct = Ct.astype(jnp.float32)
+    # the ONE transpose of the step (25 MB read): Mosaic's matmul batch
+    # rules force the kernel's C input to [N, ny, nl] (see
+    # _kernel_gather_cp); everything else reads the unpadded Ct
+    C = jnp.swapaxes(Ct, 0, 1)
     CPb = _gather_cp_call(bidx.astype(jnp.int32), C, P_base, ny, nl,
-                          block, interpret)
+                          block, interpret)               # [N, ny, nl]
     Wf = Wt_gathered
-    CWt = jnp.einsum("pij,prj->pir", C.astype(Wf.dtype), Wf,
+    CWt = jnp.einsum("ipj,prj->pir", Ct.astype(Wf.dtype), Wf,
                      preferred_element_type=jnp.float32)
     CP = CPb - jnp.einsum("pir,prj->pij", CWt.astype(Wf.dtype), Wf,
                           preferred_element_type=jnp.float32)
-    S = jnp.einsum("pij,pkj->pik", CP, C,
+    S = jnp.einsum("pij,kpj->pik", CP, Ct,
                    preferred_element_type=jnp.float32) \
         + jnp.asarray(R, jnp.float32)[None]
     L, bad = _chol_small_batched(S, jitter)
     e = y[None, :].astype(jnp.float32) \
-        - jnp.einsum("pij,pj->pi", C, xl_gathered.astype(jnp.float32))
+        - jnp.einsum("ipj,pj->pi", Ct, xl_gathered.astype(jnp.float32))
     z = _tri_solve_small_batched(L, e)             # [N, ny]
     logw = (
         -0.5 * jnp.sum(z * z, axis=-1)

@@ -48,6 +48,12 @@ class DenseModel(NamedTuple):
     # per-particle key splits (threefry key derivation for 16k+ particles
     # is measurable VPU work in the hot step)
     dynamics_batch: Optional[Callable] = None
+    # optional fully-fused transposed Jacobian (xn [P, dn], nl_pad) ->
+    # Ct [ny, P, nl_pad]: one kernel emits the complete measurement
+    # Jacobian (basis eval + model-specific assembly) in the [ny, P, nl]
+    # layout the lowrank KF kernel consumes — no [P, ny, nl] sublane-
+    # padded intermediates, no transposes (kernels/basis_eval.py)
+    meas_jacobian_batch_t: Optional[Callable] = None
 
 
 class SparseModel(NamedTuple):

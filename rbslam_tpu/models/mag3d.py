@@ -92,8 +92,9 @@ def make_mag3d_model(
         return Rnb.T @ C_nav
 
     meas_jacobian_batch = None
+    meas_jacobian_batch_t = None
     if use_pallas_basis:
-        from ..kernels import grad_basis_pallas
+        from ..kernels import grad_basis_pallas, mag3d_jacobian_pallas
 
         def meas_jacobian_batch(xn):
             pos = xn[:, _IPOS] - c
@@ -105,6 +106,11 @@ def make_mag3d_model(
             Rnb = quat_to_rmat(xn[:, _IQUAT])
             return jnp.einsum("pji,pjk->pik", Rnb, C_nav)
 
+        def meas_jacobian_batch_t(xn, nl_pad):
+            return mag3d_jacobian_pallas(
+                potential.basis, xn[:, _IPOS] - c, xn[:, _IQUAT], nl_pad
+            )
+
     return DenseModel(
         dynamics=dynamics,
         dyn_residual=dyn_residual,
@@ -114,4 +120,5 @@ def make_mag3d_model(
         ny=3,
         meas_jacobian_batch=meas_jacobian_batch,
         dynamics_batch=dynamics_batch,
+        meas_jacobian_batch_t=meas_jacobian_batch_t,
     )

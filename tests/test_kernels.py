@@ -87,3 +87,38 @@ def test_pallas_basis_cache_survives_multiple_jits():
     a = float(f1(x))
     b = float(f2(x))
     assert np.isfinite(a) and np.isfinite(b)
+
+
+def test_mag3d_jacobian_kernel_matches_reference():
+    """The fully-fused transposed Jacobian kernel == the composed
+    reference assembly R(q)^T [I3 | grad_phi] (run_dense3D_magfield.m:
+    265-279), including the zero pad columns beyond 3 + m."""
+    from rbslam_tpu.kernels import mag3d_jacobian_pallas
+    from rbslam_tpu.math.quaternions import quat_to_rmat
+
+    basis = hypercube_basis(61, np.array([2.0, 2.0, 1.0]))
+    key = jax.random.PRNGKey(7)
+    kp, kq = jax.random.split(key)
+    n = 37
+    pos = jax.random.uniform(kp, (n, 3), minval=-1.5, maxval=1.5)
+    q = jax.random.normal(kq, (n, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+    nl_pad = 128
+    Ct = mag3d_jacobian_pallas(basis, pos, q, nl_pad)
+    assert Ct.shape == (3, n, nl_pad)
+
+    g = jax.vmap(basis.grad_phi)(pos)                   # [n, 3, m]
+    eye = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+    C_nav = jnp.concatenate([eye, g], axis=-1)          # [n, 3, 3+m]
+    Rnb = quat_to_rmat(q)
+    ref = jnp.einsum("pji,pjk->pik", Rnb, C_nav)        # [n, 3, 3+m]
+
+    np.testing.assert_allclose(
+        np.asarray(Ct[:, :, : 3 + basis.m]),
+        np.asarray(jnp.swapaxes(ref, 0, 1)),
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(Ct[:, :, 3 + basis.m:]), 0.0
+    )
