@@ -283,13 +283,14 @@ def main():
                     help="ESS resampling threshold (1.0 = every step, "
                          "the reference semantics; <1 skips the P gather "
                          "on non-resampling steps)")
-    ap.add_argument("--kf-kernel", default="block_gather",
+    ap.add_argument("--kf-kernel", default="lowrank",
                     choices=["xla", "block_gather", "lowrank"],
                     help="KF measurement-update kernel: xla einsum chain; "
                          "block_gather = gather-fused blocked kernel (the "
                          "resampling gather of P rides lookahead DMAs — "
                          "one total HBM read+write of the covariance "
-                         "ensemble per step); lowrank = factored carry "
+                         "ensemble per step); lowrank (default; measured "
+                         "fastest, RESULTS.md r4) = factored carry "
                          "P = P_base - Wt'Wt, ny rows written per step "
                          "(kernels/kf_update.py)")
     ap.add_argument("--lowrank-period", type=int, default=8,

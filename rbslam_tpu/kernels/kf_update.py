@@ -450,21 +450,23 @@ def kf_update_block_gather(ai, C, xl_gathered, P_all, y, R,
 
 
 def _kernel_gather_cp(ny: int, block: int,
-                      bidx_ref, C_ref,
+                      bidx_ref, C_ref, Wt_ref,
                       P_base_hbm,
                       cp_ref,
                       pbuf, sems):
-    """Gather-fused CP contraction: CP[b] = Ct[:, b, :] @ P_base[bidx[b]].
+    """Gather-fused effective-CP contraction:
+    CP[b] = C[b] @ (P_base[bidx[b]] - Wt[b]^T Wt[b]).
 
-    The ONLY heavy op of the factored update — the per-particle ancestor
+    The heavy op of the factored update — the per-particle ancestor
     row rides lookahead double-buffered DMAs (P_base is read-only between
-    rebases, so nothing is ever written back), and the kernel emits just
-    the [ny, nl] contraction. Measured at the P read-bandwidth floor
-    (scripts/profile_gather_cp.py: 1.11 ms/step at N=16384, nl=128 —
-    equal to XLA's batched matmul WITHOUT any gather, and bit-exact
-    against it). All remaining small-ny algebra runs in XLA, where the
-    batched [N, ny, *] ops fuse well — the earlier monolithic kernel
-    that kept the full update in Mosaic ran 3x slower than this split.
+    rebases, so nothing is ever written back), and the low-rank factor
+    correction C Wt^T Wt folds in here too (two batch-0 dots), so XLA
+    never re-reads C/Wt or round-trips an uncorrected CP. The bare
+    gather+dot was measured at the P read-bandwidth floor
+    (scripts/profile_gather_cp.py: 1.11 ms/step at N=16384, nl=128).
+    The remaining small-ny algebra (S, Cholesky, weights, gain) runs in
+    XLA, where the batched [N, ny, *] ops fuse well — an earlier
+    monolithic kernel keeping the full update in Mosaic ran 3x slower.
     """
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
@@ -494,27 +496,42 @@ def _kernel_gather_cp(ny: int, block: int,
         ).wait()
 
     P = pbuf[slot]
-    # NOTE: C must arrive [block, ny, nl] — Mosaic's tpu.matmul requires
-    # lhs/rhs batch dims at the same axis index (a [ny, block, nl] lhs
-    # fails "batch dims must be equal") and rejects batched GEMV (empty
-    # lhs_non_contracting_dims), so the transposed-C layouts cannot feed
-    # this dot directly; the caller pays one XLA transpose instead.
-    cp_ref[...] = jax.lax.dot_general(
-        C_ref[...].astype(P.dtype), P, (((2,), (1,)), ((0,), (0,))),
+    # NOTE: every dot here keeps batch dims at axis 0 on both sides —
+    # Mosaic's tpu.matmul requires lhs/rhs batch dims at the same axis
+    # index (a [ny, block, nl] lhs fails "batch dims must be equal") and
+    # rejects batched GEMV (empty lhs_non_contracting_dims), so the
+    # transposed-C layout cannot feed these directly; the caller pays
+    # one XLA transpose instead.
+    C = C_ref[...]
+    CPb = jax.lax.dot_general(
+        C.astype(P.dtype), P, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    Wt = Wt_ref[...]
+    CWt = jax.lax.dot_general(
+        C.astype(Wt.dtype), Wt, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [block, ny, rw]
+    corr = jax.lax.dot_general(
+        CWt.astype(Wt.dtype), Wt, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [block, ny, nl]
+    cp_ref[...] = CPb - corr
 
 
 @functools.partial(
     jax.jit, static_argnames=("ny", "nl", "block", "interpret")
 )
-def _gather_cp_call(bidx, C, P_base, ny, nl, block, interpret):
+def _gather_cp_call(bidx, C, Wt, P_base, ny, nl, block, interpret):
     n = C.shape[0]
+    rw = Wt.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // block,),
         in_specs=[
             pl.BlockSpec((block, ny, nl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, rw, nl), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # P_base stays in HBM
         ],
@@ -532,7 +549,7 @@ def _gather_cp_call(bidx, C, P_base, ny, nl, block, interpret):
         out_shape=[jax.ShapeDtypeStruct((n, ny, nl), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bidx, C, P_base)[0]
+    )(bidx, C, Wt, P_base)[0]
 
 
 def kf_update_lowrank(bidx, Ct, xl_gathered, Wt_gathered, P_base, y, R,
@@ -580,13 +597,8 @@ def kf_update_lowrank(bidx, Ct, xl_gathered, Wt_gathered, P_base, y, R,
     # rules force the kernel's C input to [N, ny, nl] (see
     # _kernel_gather_cp); everything else reads the unpadded Ct
     C = jnp.swapaxes(Ct, 0, 1)
-    CPb = _gather_cp_call(bidx.astype(jnp.int32), C, P_base, ny, nl,
-                          block, interpret)               # [N, ny, nl]
-    Wf = Wt_gathered
-    CWt = jnp.einsum("ipj,prj->pir", Ct.astype(Wf.dtype), Wf,
-                     preferred_element_type=jnp.float32)
-    CP = CPb - jnp.einsum("pir,prj->pij", CWt.astype(Wf.dtype), Wf,
-                          preferred_element_type=jnp.float32)
+    CP = _gather_cp_call(bidx.astype(jnp.int32), C, Wt_gathered, P_base,
+                         ny, nl, block, interpret)        # [N, ny, nl]
     S = jnp.einsum("pij,kpj->pik", CP, Ct,
                    preferred_element_type=jnp.float32) \
         + jnp.asarray(R, jnp.float32)[None]
