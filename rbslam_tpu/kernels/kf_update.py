@@ -467,6 +467,9 @@ def _kernel_gather_cp(ny: int, block: int,
     The remaining small-ny algebra (S, Cholesky, weights, gain) runs in
     XLA, where the batched [N, ny, *] ops fuse well — an earlier
     monolithic kernel keeping the full update in Mosaic ran 3x slower.
+    (Tried and reverted: gathering the factor rows by per-particle DMA
+    inside this kernel — the interleaved small row DMAs stalled the P
+    stream and measured 3% SLOWER end-to-end than XLA's take.)
     """
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
@@ -560,18 +563,19 @@ def kf_update_lowrank(bidx, Ct, xl_gathered, Wt_gathered, P_base, y, R,
     [ny, N, nl] Jacobians at the propagated particles in TRANSPOSED
     layout (the size-3 axis leading so no buffer in the chain carries
     3->8 sublane padding; produced directly by the fused Jacobian
-    kernel, basis_eval.py::mag3d_jacobian_pallas); xl_gathered
-    [N, nl]; Wt_gathered [N, rw, nl] accumulated factor rows (already
-    resampled; zero rows are inactive and contribute nothing); P_base
-    [N, nl, nl] the last rebased covariances (read-only between rebases).
-    Returns (xl', Wnew [N, ny, nl] f32, logw, retried) where
+    kernel, basis_eval.py::mag3d_jacobian_pallas); xl_gathered [N, nl];
+    Wt_gathered [N, rw, nl] accumulated factor rows (already resampled;
+    zero rows are inactive and contribute nothing); P_base [N, nl, nl]
+    the last rebased covariances (read-only between rebases).
+    Returns (xl', Wnew [N, ny, nl] storage dtype, logw, retried) where
     Wnew = L^-1 C P are the step's whitened factor rows (Wnew^T Wnew is
     exactly the covariance downdate) to place into Wt — engines/rbpf.py
     does the dynamic_update_slice. Hybrid split: the Pallas kernel
-    performs only the gather-fused CP contraction (read floor); the
-    small-ny algebra (closed-form Cholesky, weights, gain) runs in XLA
-    (ops/kalman.py helpers). Algebra identical to kf_update_block_gather
-    up to fp ordering; nl must be lane-aligned, ny <= 3.
+    performs the gather-fused CP contraction (read floor) with the
+    factor correction folded in; the small-ny algebra (closed-form
+    Cholesky, weights, gain) runs in XLA (ops/kalman.py helpers).
+    Algebra identical to kf_update_block_gather up to fp ordering; nl
+    must be lane-aligned, ny <= 3.
     """
     from ..ops.kalman import (
         _chol_small_batched,
@@ -595,8 +599,12 @@ def kf_update_lowrank(bidx, Ct, xl_gathered, Wt_gathered, P_base, y, R,
     Ct = Ct.astype(jnp.float32)
     # the ONE transpose of the step (25 MB read): Mosaic's matmul batch
     # rules force the kernel's C input to [N, ny, nl] (see
-    # _kernel_gather_cp); everything else reads the unpadded Ct
-    C = jnp.swapaxes(Ct, 0, 1)
+    # _kernel_gather_cp); everything else reads the unpadded Ct. The
+    # kernel casts C to the storage dtype for both of its dots anyway,
+    # so the transpose emits storage dtype directly (halves the padded
+    # [N, ny, nl] write when the covariance is bf16; exact no-op for
+    # f32 accuracy configs).
+    C = jnp.swapaxes(Ct, 0, 1).astype(P_base.dtype)
     CP = _gather_cp_call(bidx.astype(jnp.int32), C, Wt_gathered, P_base,
                          ny, nl, block, interpret)        # [N, ny, nl]
     S = jnp.einsum("pij,kpj->pik", CP, Ct,
@@ -612,11 +620,17 @@ def kf_update_lowrank(bidx, Ct, xl_gathered, Wt_gathered, P_base, y, R,
         - 0.5 * ny * _LOG2PI
     )
     Li = _Li_from_chol_small_batched(L)
-    Wnew = jnp.einsum("pij,pjk->pik", Li, CP,
-                      preferred_element_type=jnp.float32)
+    # xl update from (z, Li, CP) directly so the only materialization of
+    # the new factor rows is the storage-dtype write the caller places
+    # into Wt (bf16 halves the sublane-padded [N, ny, nl] pass; the f32
+    # -> storage rounding is the same one the caller's DUS applied)
+    zLi = jnp.einsum("pi,pij->pj", z, Li)
     xl_new = xl_gathered.astype(jnp.float32) \
-        + jnp.einsum("pi,pik->pk", z, Wnew,
+        + jnp.einsum("pj,pjk->pk", zLi, CP,
                      preferred_element_type=jnp.float32)
+    Wnew = jnp.einsum("pij,pjk->pik", Li, CP,
+                      preferred_element_type=jnp.float32) \
+        .astype(Wt_gathered.dtype)
     return xl_new, Wnew, logw, bad
 
 

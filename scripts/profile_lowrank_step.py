@@ -19,7 +19,7 @@ data, model, potential, k_sd, Q, R = _build_problem(M, N, T,
 nl = potential.n_lin
 key = jax.random.PRNGKey(0)
 xn0 = jnp.broadcast_to(jnp.asarray(data.init_state), (N, 7)) + 0.0
-C_const = jax.vmap(model.meas_jacobian)(xn0)
+C_const = model.meas_jacobian_batch_t(xn0, 128)
 xl0 = jnp.zeros((N, nl))
 P0 = (jnp.broadcast_to(jnp.diag(k_sd), (N, nl, nl))).astype(jnp.bfloat16)
 y_t = jnp.asarray(data.y[1])
@@ -46,14 +46,14 @@ def make_scan(resample=True, gather_wt=True, dynamics=True, jacobian=True,
             Wt = jnp.take(Wt, ai, 0)
         if dynamics:
             xn = model.dynamics_batch(k_dyn, xn, u, dt, Qj)
-        C = model.meas_jacobian_batch(xn) if jacobian else C_c
+        Ct = model.meas_jacobian_batch_t(xn, 128) if jacobian else C_c
         if kernel:
             xl, wnew, logw, _ = kf_update_lowrank(
-                bidx, C, xl, Wt, P_base, y_t, R)
+                bidx, Ct, xl, Wt, P_base, y_t, R)
             Wt = jax.lax.dynamic_update_slice(
                 Wt, wnew.astype(Wt.dtype), (0, 3 * (ph % 8), 0))
         else:
-            logw = -0.5 * jnp.sum(C[:, :, 0] ** 2, -1) + xl[:, 0]
+            logw = -0.5 * jnp.sum(Ct[:, :, 0] ** 2, 0) + xl[:, 0]
         w_new, logw_nn, logz = logsumexp_normalize(logw)
         if outs:
             iw = jnp.argmax(logw_nn)
