@@ -519,8 +519,22 @@ def _run_rbpf(
                 xl_new, wnew, logw, retried_b = kf_update_lowrank(
                     bidx_n, Ct, xl_a, Wt_g, P_base, y_t, R, config.jitter
                 )
-                Wt_new = jax.lax.dynamic_update_slice(
-                    Wt_g, wnew.astype(Wt_g.dtype), (0, ny * phase, 0)
+                # place the new factor rows at [ny*phase, ny*phase+ny):
+                # a dynamic_update_slice at a 3-row sublane-UNALIGNED
+                # offset of the (8,128)-tiled slab lowers to a full
+                # copy + select (~0.7 ms/step measured in the r4 trace);
+                # the target rows are always still zero (each phase owns
+                # distinct rows, gathers permute particles not rows), so
+                # an add of E(phase) @ wnew is exact and fuses with the
+                # slab handling (measured fastest of DUS / where+static-
+                # gather / einsum-placement at bench scale)
+                rw_here = Wt_g.shape[1]
+                E = (
+                    jnp.arange(rw_here)[:, None]
+                    == ny * phase + jnp.arange(ny)[None, :]
+                ).astype(Wt_g.dtype)
+                Wt_new = Wt_g + jnp.einsum(
+                    "rc,pcn->prn", E, wnew.astype(Wt_g.dtype)
                 )
                 w_new, logw_nn, logz = logsumexp_normalize(logw)
                 iw_max = jnp.argmax(logw_nn)

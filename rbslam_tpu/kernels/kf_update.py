@@ -68,7 +68,7 @@ def _pair_mask(ny, i, j, dtype):
             ).astype(dtype)
 
 
-def _spd_inv_logdet(S, ny: int, jitter: float):
+def _spd_inv_logdet(S, ny: int, jitter: float, want_sinv: bool = True):
     """Batched closed-form inverse + log-det of tiny SPD matrices via a
     SCALARIZED Cholesky — full-tensor math only, slice-free.
 
@@ -88,7 +88,9 @@ def _spd_inv_logdet(S, ny: int, jitter: float):
     Gershgorin excess max_i(sum_{k != i} |S_ik| - S_ii), which makes
     S + jI strictly diagonally dominant, hence PD; pivots of the shifted
     recursion are floor-clamped so the outputs are ALWAYS finite.
-    Returns (Sinv, logdet [B,1,1], bad [B,1,1] bool).
+    Returns (Sinv, logdet [B,1,1], bad [B,1,1] bool, Linv [B,ny,ny]
+    lower-triangular with S^-1 = Linv' Linv — the whitener the factored
+    update's new factor rows Wnew = Linv C P need).
     """
     if ny == 1:
         scale = jnp.maximum(1.0, S)
@@ -96,7 +98,7 @@ def _spd_inv_logdet(S, ny: int, jitter: float):
         g = -S                              # Gershgorin excess, 1x1
         j = jnp.where(bad, jitter * scale + jnp.maximum(g, 0.0), 0.0)
         Ssh = jnp.maximum(S + j, 1e-30 * scale)
-        return 1.0 / Ssh, jnp.log(Ssh), bad
+        return 1.0 / Ssh, jnp.log(Ssh), bad, jax.lax.rsqrt(Ssh)
 
     # --- extract the unique entries as [B, 1, 1] scalars ---------------
     cols = [
@@ -166,16 +168,23 @@ def _spd_inv_logdet(S, ny: int, jitter: float):
         m11 = 1.0 / l11
         m22 = 1.0 / l22
         m21 = -l21 * m11 * m22
-        i11 = m11 * m11 + m21 * m21
-        i21 = m21 * m22
-        i22 = m22 * m22
-        Sinv = (
-            i11 * _pair_mask(ny, 0, 0, i11.dtype)
-            + i21 * (_pair_mask(ny, 1, 0, i11.dtype)
-                     + _pair_mask(ny, 0, 1, i11.dtype))
-            + i22 * _pair_mask(ny, 1, 1, i11.dtype)
+        Sinv = None
+        if want_sinv:
+            i11 = m11 * m11 + m21 * m21
+            i21 = m21 * m22
+            i22 = m22 * m22
+            Sinv = (
+                i11 * _pair_mask(ny, 0, 0, m11.dtype)
+                + i21 * (_pair_mask(ny, 1, 0, m11.dtype)
+                         + _pair_mask(ny, 0, 1, m11.dtype))
+                + i22 * _pair_mask(ny, 1, 1, m11.dtype)
+            )
+        Linv = (
+            m11 * _pair_mask(ny, 0, 0, m11.dtype)
+            + m21 * _pair_mask(ny, 1, 0, m11.dtype)
+            + m22 * _pair_mask(ny, 1, 1, m11.dtype)
         )
-        return Sinv, logdet, bad
+        return Sinv, logdet, bad, Linv
 
     l11 = jnp.sqrt(pivs[0])
     l21 = s21 / l11
@@ -190,22 +199,32 @@ def _spd_inv_logdet(S, ny: int, jitter: float):
     m21 = -l21 * m11 * m22
     m32 = -l32 * m22 * m33
     m31 = (l21 * l32 - l31 * l22) * m11 * m22 * m33
-    i11 = m11 * m11 + m21 * m21 + m31 * m31
-    i21 = m21 * m22 + m31 * m32
-    i31 = m31 * m33
-    i22 = m22 * m22 + m32 * m32
-    i32 = m32 * m33
-    i33 = m33 * m33
-    dt = i11.dtype
-    Sinv = (
-        i11 * _pair_mask(ny, 0, 0, dt)
-        + i22 * _pair_mask(ny, 1, 1, dt)
-        + i33 * _pair_mask(ny, 2, 2, dt)
-        + i21 * (_pair_mask(ny, 1, 0, dt) + _pair_mask(ny, 0, 1, dt))
-        + i31 * (_pair_mask(ny, 2, 0, dt) + _pair_mask(ny, 0, 2, dt))
-        + i32 * (_pair_mask(ny, 2, 1, dt) + _pair_mask(ny, 1, 2, dt))
+    dt = m11.dtype
+    Sinv = None
+    if want_sinv:
+        i11 = m11 * m11 + m21 * m21 + m31 * m31
+        i21 = m21 * m22 + m31 * m32
+        i31 = m31 * m33
+        i22 = m22 * m22 + m32 * m32
+        i32 = m32 * m33
+        i33 = m33 * m33
+        Sinv = (
+            i11 * _pair_mask(ny, 0, 0, dt)
+            + i22 * _pair_mask(ny, 1, 1, dt)
+            + i33 * _pair_mask(ny, 2, 2, dt)
+            + i21 * (_pair_mask(ny, 1, 0, dt) + _pair_mask(ny, 0, 1, dt))
+            + i31 * (_pair_mask(ny, 2, 0, dt) + _pair_mask(ny, 0, 2, dt))
+            + i32 * (_pair_mask(ny, 2, 1, dt) + _pair_mask(ny, 1, 2, dt))
+        )
+    Linv = (
+        m11 * _pair_mask(ny, 0, 0, dt)
+        + m21 * _pair_mask(ny, 1, 0, dt)
+        + m22 * _pair_mask(ny, 1, 1, dt)
+        + m31 * _pair_mask(ny, 2, 0, dt)
+        + m32 * _pair_mask(ny, 2, 1, dt)
+        + m33 * _pair_mask(ny, 2, 2, dt)
     )
-    return Sinv, logdet, bad
+    return Sinv, logdet, bad, Linv
 
 
 def _block_update_math(ny, jitter, C, P, e_ref, xl_ref, R_ref,
@@ -244,7 +263,7 @@ def _block_update_math(ny, jitter, C, P, e_ref, xl_ref, R_ref,
         preferred_element_type=jnp.float32,
     ) + R_ref[...][None, :, :]
 
-    Sinv, logdet, bad = _spd_inv_logdet(S, ny, jitter)
+    Sinv, logdet, bad, _ = _spd_inv_logdet(S, ny, jitter)
 
     # whitened quadratic + log-weight: e' S^-1 e via full-tensor products
     e_row = e_ref[...]                             # [B, 1, ny]

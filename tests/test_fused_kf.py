@@ -41,7 +41,7 @@ def test_spd_inv_logdet_accuracy(ny):
     Q, _ = np.linalg.qr(rng.normal(size=(64, ny, ny)))
     d = np.geomspace(1.0, 1e4, ny)[None, :] * np.ones((64, 1))
     S = np.einsum("bij,bj,bkj->bik", Q, d, Q).astype(np.float32)
-    Sinv, logdet, bad = map(
+    Sinv, logdet, bad, Linv = map(
         np.asarray, _spd_inv_logdet(jnp.asarray(S), ny, 1e-3)
     )
     assert not bad.any()
@@ -51,6 +51,12 @@ def test_spd_inv_logdet_accuracy(ny):
     np.testing.assert_allclose(
         Sinv, inv_ref, atol=5e-3 * np.abs(inv_ref).max()
     )
+    # the whitener the factored update consumes: S^-1 = Linv' Linv
+    if ny == 1:
+        LtL = Linv * Linv
+    else:
+        LtL = np.einsum("bki,bkj->bij", Linv, Linv)
+    np.testing.assert_allclose(LtL, inv_ref, atol=5e-3 * np.abs(inv_ref).max())
 
 
 @pytest.mark.parametrize("ny", [1, 2, 3])
@@ -63,11 +69,12 @@ def test_spd_inv_logdet_repairs_indefinite(ny):
     A = rng.normal(size=(32, ny, ny)).astype(np.float32)
     S_indef = A @ A.transpose(0, 2, 1) - 5.0 * np.eye(ny, dtype=np.float32)
     for S in (S_indef, np.zeros((8, ny, ny), np.float32)):
-        Sinv, logdet, bad = map(
+        Sinv, logdet, bad, Linv = map(
             np.asarray, _spd_inv_logdet(jnp.asarray(S), ny, 1e-3)
         )
         assert np.isfinite(Sinv).all()
         assert np.isfinite(logdet).all()
+        assert np.isfinite(Linv).all()
         assert bad.any()
 
 
