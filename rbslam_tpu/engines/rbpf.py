@@ -506,18 +506,19 @@ def _run_rbpf(
                     xn_new = jax.vmap(
                         lambda kk, x: model.dynamics(kk, x, u, dt_t, Q_t)
                     )(dyn_keys, xn_a)
-                if model.meas_jacobian_batch_t is not None:
-                    # one fused kernel emits the full Jacobian in the
-                    # transposed [ny, N, nl] layout — no [N, 3, nl]
-                    # sublane-padded intermediates, no transposes
-                    Ct = model.meas_jacobian_batch_t(xn_new, nl_pad)
-                else:
-                    Ct = jnp.swapaxes(
-                        _pad_cols(_jacobian_batch(model, xn_new), nl_pad),
-                        0, 1,
+                if model.meas_jacobian_batch_rows is not None:
+                    # one fused kernel emits the full Jacobian directly
+                    # in the [N, ny, nl] rows layout and storage dtype
+                    # the lowrank kernel consumes — no transpose/cast
+                    C = model.meas_jacobian_batch_rows(
+                        xn_new, nl_pad, P_base.dtype
                     )
+                else:
+                    C = _pad_cols(
+                        _jacobian_batch(model, xn_new), nl_pad
+                    ).astype(P_base.dtype)
                 xl_new, wnew, logw, retried_b = kf_update_lowrank(
-                    bidx_n, Ct, xl_a, Wt_g, P_base, y_t, R, config.jitter
+                    bidx_n, C, xl_a, Wt_g, P_base, y_t, R, config.jitter
                 )
                 # place the new factor rows at [ny*phase, ny*phase+ny):
                 # a dynamic_update_slice at a 3-row sublane-UNALIGNED

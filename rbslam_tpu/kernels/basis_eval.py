@@ -135,6 +135,81 @@ def _jac3d_kernel(xT_ref, nn_ref, scale_ref, out_ref):
         )
 
 
+def _jac3d_rows_kernel(out_dtype, xT_ref, nn_ref, scale_ref, out_ref):
+    """One (TN, 3, TM) tile of the mag3d Jacobian in ROWS layout
+    C [N, 3, nl] — the exact layout the lowrank KF kernel's Mosaic
+    batch-dim rules require, emitted directly in the covariance storage
+    dtype (skips the XLA transpose + cast passes of the [3, N, nl]
+    variant, ~0.2 ms/step at bench scale). The [TN, 3, TM] tile is
+    assembled slice-free: each output component k contributes through a
+    full-tensor iota mask times a sublane-broadcast of its [TN, TM]
+    row — no sublane-axis writes (NEGATIVE_RESULTS.md layout rules).
+    """
+    sins = []
+    coss = []
+    for j in range(3):
+        a = (
+            xT_ref[j, :][:, None] * nn_ref[j, :][None, :]
+            + nn_ref[3 + j, :][None, :]
+        )
+        sins.append(jnp.sin(a))
+        coss.append(jnp.cos(a))
+    scale = scale_ref[0, 0]
+    g = []
+    for i in range(3):
+        prod = nn_ref[6 + i, :][None, :] * coss[i]
+        for j in range(3):
+            if j != i:
+                prod = prod * sins[j]
+        g.append(scale * prod + nn_ref[9 + i, :][None, :])
+    q0 = xT_ref[3, :][:, None]
+    q1 = xT_ref[4, :][:, None]
+    q2 = xT_ref[5, :][:, None]
+    q3 = xT_ref[6, :][:, None]
+    R = (
+        (q0 * q0 + q1 * q1 - q2 * q2 - q3 * q3,
+         2.0 * (q1 * q2 - q0 * q3),
+         2.0 * (q1 * q3 + q0 * q2)),
+        (2.0 * (q1 * q2 + q0 * q3),
+         q0 * q0 - q1 * q1 + q2 * q2 - q3 * q3,
+         2.0 * (q2 * q3 - q0 * q1)),
+        (2.0 * (q1 * q3 - q0 * q2),
+         2.0 * (q2 * q3 + q0 * q1),
+         q0 * q0 - q1 * q1 - q2 * q2 + q3 * q3),
+    )
+    acc = jnp.zeros((xT_ref.shape[1], 3, nn_ref.shape[1]), jnp.float32)
+    row_id = jax.lax.broadcasted_iota(
+        jnp.int32, (xT_ref.shape[1], 3, nn_ref.shape[1]), 1
+    )
+    for k in range(3):
+        Ck = R[0][k] * g[0] + R[1][k] * g[1] + R[2][k] * g[2]
+        acc = acc + jnp.where(row_id == k, Ck[:, None, :], 0.0)
+    out_ref[...] = acc.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _jac3d_rows_call(xT_pad, nn_pack, scale, out_dtype):
+    n_pad = xT_pad.shape[1]
+    m_pad = nn_pack.shape[1]
+    grid = (n_pad // _TN, m_pad // _TM)
+    return pl.pallas_call(
+        functools.partial(_jac3d_rows_kernel, out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 3, m_pad), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, _TN), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, _TM), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, 3, _TM), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(xT_pad, nn_pack, scale)
+
+
 @jax.jit
 def _jac3d_call(xT_pad, nn_pack, scale):
     n_pad = xT_pad.shape[1]
@@ -337,3 +412,29 @@ def mag3d_jacobian_pallas(basis, pos, quat, nl_pad):
     bk = _kernels_for(basis)
     out = _jac3d_call(xT, jnp.asarray(nn), jnp.asarray(bk.scale))
     return out[:, :n, :]
+
+
+def mag3d_jacobian_rows_pallas(basis, pos, quat, nl_pad, dtype=jnp.float32):
+    """As :func:`mag3d_jacobian_pallas` but in ROWS layout C [N, 3, nl]
+    (the lowrank KF kernel's required input layout) emitted directly in
+    ``dtype`` — no XLA transpose/cast pass between the Jacobian kernel
+    and the KF kernel. Reference semantics identical
+    (run_dense3D_magfield.m:265-279)."""
+    if basis.d != 3:
+        raise ValueError("mag3d_jacobian_rows_pallas requires a 3-D basis")
+    if nl_pad % _TM:
+        raise ValueError(f"nl_pad={nl_pad} must be a multiple of {_TM}")
+    if nl_pad < 3 + basis.m:
+        raise ValueError(f"nl_pad={nl_pad} < 3 + m = {3 + basis.m}")
+    n = pos.shape[0]
+    n_pad = -(-n // _TN) * _TN
+    xT = jnp.concatenate(
+        [jnp.asarray(pos, jnp.float32).T, jnp.asarray(quat, jnp.float32).T],
+        axis=0,
+    )
+    xT = _pad_axis(_pad_axis(xT, 8, 0), n_pad, 1)
+    nn = _jac_constants_for(basis, nl_pad)
+    bk = _kernels_for(basis)
+    out = _jac3d_rows_call(xT, jnp.asarray(nn), jnp.asarray(bk.scale),
+                           jnp.dtype(dtype))
+    return out[:n]

@@ -574,25 +574,28 @@ def _gather_cp_call(bidx, C, Wt, P_base, ny, nl, block, interpret):
     )(bidx, C, Wt, P_base)[0]
 
 
-def kf_update_lowrank(bidx, Ct, xl_gathered, Wt_gathered, P_base, y, R,
+def kf_update_lowrank(bidx, C, xl_gathered, Wt_gathered, P_base, y, R,
                       jitter: float = 1e-3, block: int = 64):
     """Factored dense KF update: covariance P = P_base - Wt^T Wt.
 
-    bidx [N] int32 ancestor-composed base indices into P_base; Ct
-    [ny, N, nl] Jacobians at the propagated particles in TRANSPOSED
-    layout (the size-3 axis leading so no buffer in the chain carries
-    3->8 sublane padding; produced directly by the fused Jacobian
-    kernel, basis_eval.py::mag3d_jacobian_pallas); xl_gathered [N, nl];
-    Wt_gathered [N, rw, nl] accumulated factor rows (already resampled;
-    zero rows are inactive and contribute nothing); P_base [N, nl, nl]
-    the last rebased covariances (read-only between rebases).
+    bidx [N] int32 ancestor-composed base indices into P_base; C
+    [N, ny, nl] Jacobians at the propagated particles in ROWS layout —
+    the layout Mosaic's matmul batch-dim rules force on the kernel,
+    produced directly in the storage dtype by the fused Jacobian kernel
+    (basis_eval.py::mag3d_jacobian_rows_pallas, no transpose pass);
+    xl_gathered [N, nl]; Wt_gathered [N, rw, nl] accumulated factor rows
+    (already resampled; zero rows are inactive and contribute nothing);
+    P_base [N, nl, nl] the last rebased covariances (read-only between
+    rebases).
     Returns (xl', Wnew [N, ny, nl] storage dtype, logw, retried) where
     Wnew = L^-1 C P are the step's whitened factor rows (Wnew^T Wnew is
     exactly the covariance downdate) to place into Wt — engines/rbpf.py
-    does the dynamic_update_slice. Hybrid split: the Pallas kernel
+    does the masked-add placement. Hybrid split: the Pallas kernel
     performs the gather-fused CP contraction (read floor) with the
     factor correction folded in; the small-ny algebra (closed-form
-    Cholesky, weights, gain) runs in XLA (ops/kalman.py helpers).
+    Cholesky, weights, gain) runs in XLA (ops/kalman.py helpers) — a
+    monolithic all-in-kernel variant measured SLOWER (batched small
+    dots lower to per-batch MXU loops in Mosaic; NEGATIVE_RESULTS.md).
     Algebra identical to kf_update_block_gather up to fp ordering; nl
     must be lane-aligned, ny <= 3.
     """
@@ -602,7 +605,7 @@ def kf_update_lowrank(bidx, Ct, xl_gathered, Wt_gathered, P_base, y, R,
         _tri_solve_small_batched,
     )
 
-    ny, n, nl = Ct.shape
+    n, ny, nl = C.shape
     if ny > 3:
         raise ValueError("lowrank KF kernel supports ny <= 3")
     if nl % 128:
@@ -615,23 +618,17 @@ def kf_update_lowrank(bidx, Ct, xl_gathered, Wt_gathered, P_base, y, R,
         block //= 2
         bytes_blk //= 2
     interpret = jax.default_backend() != "tpu"
-    Ct = Ct.astype(jnp.float32)
-    # the ONE transpose of the step (25 MB read): Mosaic's matmul batch
-    # rules force the kernel's C input to [N, ny, nl] (see
-    # _kernel_gather_cp); everything else reads the unpadded Ct. The
-    # kernel casts C to the storage dtype for both of its dots anyway,
-    # so the transpose emits storage dtype directly (halves the padded
-    # [N, ny, nl] write when the covariance is bf16; exact no-op for
-    # f32 accuracy configs).
-    C = jnp.swapaxes(Ct, 0, 1).astype(P_base.dtype)
     CP = _gather_cp_call(bidx.astype(jnp.int32), C, Wt_gathered, P_base,
                          ny, nl, block, interpret)        # [N, ny, nl]
-    S = jnp.einsum("pij,kpj->pik", CP, Ct,
+    # C participates below in its storage dtype (bf16 operands feed the
+    # MXU natively with f32 accumulation — no materialized f32 copy)
+    S = jnp.einsum("pij,pkj->pik", CP, C,
                    preferred_element_type=jnp.float32) \
         + jnp.asarray(R, jnp.float32)[None]
     L, bad = _chol_small_batched(S, jitter)
     e = y[None, :].astype(jnp.float32) \
-        - jnp.einsum("ipj,pj->pi", Ct, xl_gathered.astype(jnp.float32))
+        - jnp.einsum("pij,pj->pi", C, xl_gathered,
+                     preferred_element_type=jnp.float32)
     z = _tri_solve_small_batched(L, e)             # [N, ny]
     logw = (
         -0.5 * jnp.sum(z * z, axis=-1)
@@ -641,8 +638,7 @@ def kf_update_lowrank(bidx, Ct, xl_gathered, Wt_gathered, P_base, y, R,
     Li = _Li_from_chol_small_batched(L)
     # xl update from (z, Li, CP) directly so the only materialization of
     # the new factor rows is the storage-dtype write the caller places
-    # into Wt (bf16 halves the sublane-padded [N, ny, nl] pass; the f32
-    # -> storage rounding is the same one the caller's DUS applied)
+    # into Wt (bf16 halves the sublane-padded [N, ny, nl] pass)
     zLi = jnp.einsum("pi,pij->pj", z, Li)
     xl_new = xl_gathered.astype(jnp.float32) \
         + jnp.einsum("pj,pjk->pk", zLi, CP,

@@ -51,9 +51,13 @@ class DenseModel(NamedTuple):
     # optional fully-fused transposed Jacobian (xn [P, dn], nl_pad) ->
     # Ct [ny, P, nl_pad]: one kernel emits the complete measurement
     # Jacobian (basis eval + model-specific assembly) in the [ny, P, nl]
-    # layout the lowrank KF kernel consumes — no [P, ny, nl] sublane-
-    # padded intermediates, no transposes (kernels/basis_eval.py)
+    # layout with no sublane-padded intermediates (kernels/basis_eval.py)
     meas_jacobian_batch_t: Optional[Callable] = None
+    # optional fused ROWS-layout Jacobian (xn [P, dn], nl_pad, dtype) ->
+    # C [P, ny, nl_pad] in the given storage dtype — the exact input
+    # layout Mosaic's batch-dim rules force on the lowrank KF kernel,
+    # emitted directly (no XLA transpose/cast between the kernels)
+    meas_jacobian_batch_rows: Optional[Callable] = None
 
 
 class SparseModel(NamedTuple):

@@ -93,8 +93,10 @@ def make_mag3d_model(
 
     meas_jacobian_batch = None
     meas_jacobian_batch_t = None
+    meas_jacobian_batch_rows = None
     if use_pallas_basis:
         from ..kernels import grad_basis_pallas, mag3d_jacobian_pallas
+        from ..kernels.basis_eval import mag3d_jacobian_rows_pallas
 
         def meas_jacobian_batch(xn):
             pos = xn[:, _IPOS] - c
@@ -111,6 +113,12 @@ def make_mag3d_model(
                 potential.basis, xn[:, _IPOS] - c, xn[:, _IQUAT], nl_pad
             )
 
+        def meas_jacobian_batch_rows(xn, nl_pad, dtype):
+            return mag3d_jacobian_rows_pallas(
+                potential.basis, xn[:, _IPOS] - c, xn[:, _IQUAT], nl_pad,
+                dtype,
+            )
+
     return DenseModel(
         dynamics=dynamics,
         dyn_residual=dyn_residual,
@@ -121,4 +129,5 @@ def make_mag3d_model(
         meas_jacobian_batch=meas_jacobian_batch,
         dynamics_batch=dynamics_batch,
         meas_jacobian_batch_t=meas_jacobian_batch_t,
+        meas_jacobian_batch_rows=meas_jacobian_batch_rows,
     )

@@ -19,7 +19,7 @@ data, model, potential, k_sd, Q, R = _build_problem(M, N, T,
 nl = potential.n_lin
 key = jax.random.PRNGKey(0)
 xn0 = jnp.broadcast_to(jnp.asarray(data.init_state), (N, 7)) + 0.0
-C_const = model.meas_jacobian_batch_t(xn0, 128)
+C_const = model.meas_jacobian_batch_rows(xn0, 128, jnp.bfloat16)
 xl0 = jnp.zeros((N, nl))
 P0 = (jnp.broadcast_to(jnp.diag(k_sd), (N, nl, nl))).astype(jnp.bfloat16)
 y_t = jnp.asarray(data.y[1])
@@ -46,7 +46,8 @@ def make_scan(resample=True, gather_wt=True, dynamics=True, jacobian=True,
             Wt = jnp.take(Wt, ai, 0)
         if dynamics:
             xn = model.dynamics_batch(k_dyn, xn, u, dt, Qj)
-        Ct = model.meas_jacobian_batch_t(xn, 128) if jacobian else C_c
+        Ct = (model.meas_jacobian_batch_rows(xn, 128, jnp.bfloat16)
+              if jacobian else C_c)
         if kernel:
             xl, wnew, logw, _ = kf_update_lowrank(
                 bidx, Ct, xl, Wt, P_base, y_t, R)

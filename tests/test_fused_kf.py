@@ -202,8 +202,7 @@ def test_lowrank_kernel_matches_reference(ny):
 
     P_eff = jnp.take(P_base, bidx, 0) - jnp.einsum("pri,prj->pij", Wt, Wt)
     ref = kalman_update_dense_batched(C, P_eff, xl, y, R, 1e-3, False, False)
-    Ct = jnp.swapaxes(C, 0, 1)
-    xl_new, wnew, logw, bad = kf_update_lowrank(bidx, Ct, xl, Wt, P_base, y, R)
+    xl_new, wnew, logw, bad = kf_update_lowrank(bidx, C, xl, Wt, P_base, y, R)
     np.testing.assert_allclose(xl_new, ref[0], atol=5e-2)
     np.testing.assert_allclose(logw, ref[2], atol=5e-2)
     assert not bool(bad.any())
@@ -229,7 +228,7 @@ def test_lowrank_kernel_jitter_retry():
     y = jnp.ones((ny,))
     R = jnp.zeros((ny, ny))
     xl_new, wnew, logw, bad = kf_update_lowrank(
-        jnp.arange(N), jnp.swapaxes(C, 0, 1), xl, Wt, P_base, y, R
+        jnp.arange(N), C, xl, Wt, P_base, y, R
     )
     assert bool(bad.all())
     assert np.isfinite(np.asarray(logw)).all()
