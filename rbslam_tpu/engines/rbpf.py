@@ -228,6 +228,18 @@ def run_rbpf(
                 "selected; NaN rows are only masked correctly on "
                 "kf_kernel='xla' (ops/kalman.kalman_update_masked)"
             )
+    if isinstance(model, SparseModel):
+        # TPU f32 matmuls default to bf16-pass precision; the sparse/EKF
+        # masked algebra (noise_var=0.1^2 against initMapVar=4^2,
+        # pfslam.m:78-93) is too ill-conditioned for that — measured NaN
+        # weights mid-run at reference scale on TPU while CPU (true f32)
+        # is fine. The sparse shapes are tiny, so full-f32 passes cost
+        # nothing; the dense path keeps the fast default.
+        with jax.default_matmul_precision("highest"):
+            return _run_rbpf(
+                key, model, dx, y, x0_nonlin, x0_lin, P0_lin, Q, R, dt,
+                config, mask, mesh,
+            )
     return _run_rbpf(
         key, model, dx, y, x0_nonlin, x0_lin, P0_lin, Q, R, dt, config,
         mask, mesh,
@@ -571,6 +583,9 @@ def _run_rbpf(
         carry = (xn0c, xl1, P1, logw1n, retries0)
         outs_parts = []
         if n_super > 0:
+            # (tried: unrolling this outer scan as a Python loop to kill
+            # the per-period P_base carry copy seen in the trace — no
+            # measurable gain, 5x compile time; NEGATIVE_RESULTS.md)
             nmain = n_super * r
             phases = jnp.broadcast_to(
                 jnp.arange(r, dtype=jnp.int32), (n_super, r)

@@ -430,6 +430,15 @@ def run_rbps(
         )
     if mask is None:
         mask = jnp.isfinite(y).astype(y.dtype)
+    if isinstance(model, SparseModel):
+        # full-f32 matmul passes for the ill-conditioned sparse/EKF
+        # algebra — see run_rbpf's SparseModel note (TPU bf16-pass
+        # default produced NaN weights at reference scale)
+        with jax.default_matmul_precision("highest"):
+            return _run_sweeps(
+                _cpf_as_sweep, key, model, dx, y, mask, x0_nonlin,
+                x0_lin, P0_lin, Q, R, dt, config, checkpoint_dir,
+            )
     return _run_sweeps(
         _cpf_as_sweep, key, model, dx, y, mask, x0_nonlin, x0_lin,
         P0_lin, Q, R, dt, config, checkpoint_dir,

@@ -99,3 +99,75 @@ def animate_particle_cloud(
 
     plt.close(fig)
     return len(frames)
+
+
+def animate_smoother_sweeps(
+    out_path: str,
+    XNK,                     # [N_K, T, >=2] sampled trajectory per sweep
+    XLK=None,                # [N_K, 2M] sampled landmark map per sweep
+    truth=None,              # [T, >=2] ground-truth positions
+    landmarks_true=None,     # [M, 2]
+    fps: int = 2,
+    title: str = "smoother progress",
+    dpi: int = 80,
+):
+    """Render the CPF-AS smoother's per-sweep sampled trajectory (and
+    landmark map) as an animated GIF — the `loop-ps.mp4` analog
+    (examples/slam-sparse-visual/psslam.m + plot_visual_slam_progress.m,
+    one frame per Gibbs sweep k instead of per time step). Offline pass
+    over the returned (XNK, XLK) arrays; the sweeps never block on the
+    renderer. Returns the number of frames written."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    XNK = np.asarray(XNK)
+    n_k = XNK.shape[0]
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    all_xy = XNK[:, :, :2].reshape(-1, 2)
+    if truth is not None:
+        all_xy = np.concatenate([all_xy, np.asarray(truth)[:, :2]], 0)
+    lo, hi = all_xy.min(0), all_xy.max(0)
+    pad = 0.08 * (hi - lo + 1e-9)
+    ax.set_xlim(lo[0] - pad[0], hi[0] + pad[0])
+    ax.set_ylim(lo[1] - pad[1], hi[1] + pad[1])
+    ax.set_aspect("equal")
+
+    if truth is not None:
+        truth = np.asarray(truth)
+        ax.plot(truth[:, 0], truth[:, 1], "k--", lw=1, alpha=0.6,
+                label="truth", zorder=1)
+    if landmarks_true is not None:
+        lm = np.asarray(landmarks_true)
+        ax.plot(lm[:, 0], lm[:, 1], "k*", ms=10, zorder=2,
+                label="landmarks")
+    prev_lines = []
+    cur_line = ax.plot([], [], "r-", lw=1.8, zorder=5,
+                       label="sampled trajectory")[0]
+    lm_sc = None
+    if XLK is not None:
+        XLK = np.asarray(XLK)
+        lm_sc = ax.plot([], [], "r+", ms=9, zorder=4,
+                        label="landmark sample")[0]
+    ax.legend(loc="upper right", fontsize=8)
+
+    writer = _writer(fps)
+    with writer.saving(fig, out_path, dpi):
+        for k in range(n_k):
+            # past sweeps stay as faded history (degeneracy-vs-diversity
+            # is the point of the figure family)
+            if k > 0:
+                faded = ax.plot(XNK[k - 1, :, 0], XNK[k - 1, :, 1], "-",
+                                color="tab:orange", lw=0.8, alpha=0.35,
+                                zorder=3)[0]
+                prev_lines.append(faded)
+            cur_line.set_data(XNK[k, :, 0], XNK[k, :, 1])
+            if lm_sc is not None:
+                lm_k = XLK[k].reshape(-1, 2)
+                lm_sc.set_data(lm_k[:, 0], lm_k[:, 1])
+            ax.set_title(f"{title} — sweep {k + 1}/{n_k}")
+            writer.grab_frame()
+    plt.close(fig)
+    return n_k

@@ -49,7 +49,9 @@ class MagLocalizationConfig:
     m_basis: int = 1000
     m_sim: int = 2000
     dt: float = 0.1
-    optimize_hyperparams: bool = False
+    # the reference ML-II-optimizes the hyperparameters by default
+    # (main.m:117 calls gp_scalar_potential_fast with optimization on)
+    optimize_hyperparams: bool = True
     weight_mode: str = "product"      # "sum" reproduces the reference quirk
     resampling: str = "systematic"
     ess_threshold: float = 0.5
@@ -100,9 +102,34 @@ def _heading_quats(path):
     return np.asarray(rmat_to_quat(jnp.asarray(R))), R
 
 
-def _load_real_data(path):
-    """AaltoML magnetic-data layout: x [n,2], y [n,3], s [n] segment ids
-    (run_localization.m:43-62)."""
+def _load_real_data(path, sensor="invensense"):
+    """Load the AaltoML magnetic-data robot dataset.
+
+    Accepts either
+    - the cloned dataset REPOSITORY root (the layout main.m:27-60 reads:
+      ``<root>/data/<sensor>/{i}-loc.csv / {i}-mag.csv / {i}-time.csv``
+      for segments i = 1..9; loc = [n, 2] positions, mag = [n, 3] field),
+      concatenated exactly as the reference does with segment ids, or
+    - a ``.mat`` file with pre-concatenated ``x [n,2], y [n,3], s [n]``.
+
+    Returns (x [n, 2], y [n, 3], s [n] int segment ids). A tiny
+    synthetically-generated fixture in the repository layout is vendored
+    at ``rbslam_tpu/data/assets/aaltoml_fixture`` for tests
+    (scripts/make_aaltoml_fixture.py).
+    """
+    if os.path.isdir(path):
+        base = os.path.join(path, "data", sensor)
+        xs, ys, ss = [], [], []
+        for i in range(1, 10):
+            loc = np.loadtxt(os.path.join(base, f"{i}-loc.csv"),
+                             delimiter=",")
+            mag = np.loadtxt(os.path.join(base, f"{i}-mag.csv"),
+                             delimiter=",")
+            xs.append(np.atleast_2d(loc)[:, :2])
+            ys.append(np.atleast_2d(mag)[:, :3])
+            ss.append(np.full(len(xs[-1]), i))
+        return (np.concatenate(xs), np.concatenate(ys),
+                np.concatenate(ss))
     import scipy.io as sio
 
     d = sio.loadmat(path)
@@ -276,12 +303,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--particles", type=int, default=1000)
     ap.add_argument("--basis", type=int, default=1000)
-    ap.add_argument("--optimize", action="store_true",
-                    help="ML-II hyperparameter optimization")
+    ap.add_argument("--no-optimize", action="store_true",
+                    help="skip ML-II hyperparameter optimization (the "
+                         "reference optimizes by default, main.m:117)")
     ap.add_argument("--weight-mode", default="product",
                     choices=["product", "sum"])
     ap.add_argument("--data", default=None,
-                    help="path to AaltoML magnetic-data .mat")
+                    help="AaltoML magnetic-data: path to the cloned "
+                         "dataset repository root (data/<sensor>/*.csv "
+                         "layout) or a pre-converted .mat")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--video", default=None, metavar="GIF",
@@ -293,7 +323,7 @@ def main(argv=None):
         m_basis=256 if args.quick else args.basis,
         m_sim=512 if args.quick else 2000,
         n_test_steps=60 if args.quick else 160,
-        optimize_hyperparams=args.optimize,
+        optimize_hyperparams=not (args.no_optimize or args.quick),
         weight_mode=args.weight_mode,
         data_path=args.data,
         seed=args.seed,

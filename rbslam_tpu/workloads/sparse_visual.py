@@ -60,7 +60,8 @@ def _init_maps(key, landmarks, n_particles, guess_var):
     return flat[None, :] + jnp.sqrt(guess_var) * noise
 
 
-def run(cfg: SparseVisualConfig, plot_dir=None, video=None) -> dict:
+def run(cfg: SparseVisualConfig, plot_dir=None, video=None,
+        ps_video=None) -> dict:
     key = jax.random.PRNGKey(cfg.seed)
     key, k_data, k_map_f, k_map_s, k_f, k_s = jax.random.split(key, 6)
     data, model, Q, R, x0 = build_problem(cfg, k_data)
@@ -154,6 +155,20 @@ def run(cfg: SparseVisualConfig, plot_dir=None, video=None) -> dict:
             "rmse_map": float(rmse_map),
             "time_s": t_s.elapsed,
         }
+        if ps_video is not None:
+            # loop-ps.mp4 analog: one frame per CPF-AS sweep showing the
+            # sampled trajectory + landmark map (psslam.m:126-136)
+            from ..viz.animation import animate_smoother_sweeps
+
+            n_frames = animate_smoother_sweeps(
+                ps_video,
+                np.asarray(res_s.XNK[:, :, :2]),
+                XLK=np.asarray(res_s.XLK),
+                truth=np.asarray(truth_traj),
+                landmarks_true=np.asarray(truth_map),
+                title="sparse visual SLAM — smoother",
+            )
+            out["ps"]["video"] = {"path": ps_video, "frames": n_frames}
     return out
 
 
@@ -172,6 +187,9 @@ def main(argv=None):
     ap.add_argument("--video", default=None, metavar="GIF",
                     help="write a PF progress animation "
                          "(loop-pf.mp4 analog) to this .gif path")
+    ap.add_argument("--ps-video", default=None, metavar="GIF",
+                    help="write a smoother per-sweep animation "
+                         "(loop-ps.mp4 analog) to this .gif path")
     args = ap.parse_args(argv)
     cfg = SparseVisualConfig(
         n_particles_pf=20 if args.quick else args.particles,
@@ -180,7 +198,8 @@ def main(argv=None):
         n_shuffle=args.shuffle,
         seed=args.seed,
     )
-    report(run(cfg, plot_dir=args.plots, video=args.video))
+    report(run(cfg, plot_dir=args.plots, video=args.video,
+               ps_video=args.ps_video))
 
 
 if __name__ == "__main__":

@@ -48,6 +48,7 @@ def test_mag_localization_workload():
 
     out = run(MagLocalizationConfig(
         n_particles=300, m_basis=128, m_sim=256, n_test_steps=80,
+        optimize_hyperparams=False,
     ))
     assert out["data"] == "synthetic"
     # map reaches (near) the noise floor and the PF localizes
@@ -98,9 +99,38 @@ def test_mag_localization_real_data_layout(tmp_path):
 
     out = run(MagLocalizationConfig(
         n_particles=64, m_basis=64, data_path=str(path),
+        optimize_hyperparams=False,
     ))
     assert out["data"] == "aaltoml-magnetic-data"
     assert np.isfinite(out["gp"]["nll"])
     assert np.isfinite(out["gp"]["test_rmse"])
     assert np.isfinite(out["pf"]["mean_err_after_burnin"])
     assert out["pf"]["ess_min"] > 0
+
+
+def test_mag_localization_vendored_csv_fixture():
+    """The vendored fixture in the AaltoML REPOSITORY layout
+    (data/invensense/{i}-{loc,mag,time}.csv, main.m:27-60) drives the
+    full --data pipeline end-to-end, including the reference-default
+    ML-II hyperparameter optimization (main.m:117)."""
+    import os
+
+    from rbslam_tpu.workloads.mag_localization import (
+        MagLocalizationConfig, run,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "rbslam_tpu", "data", "assets", "aaltoml_fixture",
+    )
+    out = run(MagLocalizationConfig(
+        n_particles=64, m_basis=48, data_path=root,
+        # fixture drawn at length scale 1.0; start ML-II from the
+        # real-data theta and let it adapt (the default pipeline)
+        optimize_hyperparams=True,
+    ))
+    assert out["data"] == "aaltoml-magnetic-data"
+    assert np.isfinite(out["gp"]["nll"])
+    assert np.isfinite(out["gp"]["test_rmse"])
+    assert np.all(np.isfinite(np.asarray(out["gp"]["theta"])))
+    assert np.isfinite(out["pf"]["mean_err_after_burnin"])
