@@ -89,6 +89,40 @@ def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
     return n_particles * T / best, best, T
 
 
+def bench_rbps_info(m_basis=512, n_particles=100, n_steps=192, n_sweeps=3,
+                    repeats=2):
+    """Information-form smoother throughput at REFERENCE scale (N_P=100,
+    nl=515, T=192, woodbury ancestor form) — the paper's contribution
+    (src/particleSmootherInformationForm.m), tracked round-over-round so
+    smoother regressions are visible to the driver (VERDICT r4 #3).
+    particle-steps = N_P * T * N_K."""
+    import jax
+    import jax.numpy as jnp
+
+    from rbslam_tpu.engines import RBPSConfig, run_rbps_information_form
+
+    data, model, potential, k, Q, R = _build_problem(
+        m_basis, n_particles, n_steps
+    )
+    cfg = RBPSConfig(n_particles=n_particles, n_sweeps=n_sweeps,
+                     resampling="systematic", ancestor_form="woodbury")
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(potential.n_lin), jnp.diag(k), Q, R, 0.01, cfg,
+    )
+    key = jax.random.PRNGKey(0)
+    res = run_rbps_information_form(key, *args)
+    jax.block_until_ready(res.XNK)
+    best = np.inf
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        res = run_rbps_information_form(jax.random.fold_in(key, i), *args)
+        jax.block_until_ready(res.XNK)
+        best = min(best, time.perf_counter() - t0)
+    T = int(data.y.shape[0])
+    return n_particles * T * n_sweeps / best, best, T
+
+
 def bench_pf(n_particles, n_steps, repeats=3):
     """Terrain-matching PF throughput on a gridded magnetic map — the
     no-covariance engine that scales to millions of particles per chip
@@ -301,6 +335,9 @@ def main():
     ap.add_argument("--skip-pf", action="store_true",
                     help="skip the terrain-PF regression line (faster "
                          "iteration when tuning the RBPF kernel)")
+    ap.add_argument("--skip-extras", action="store_true",
+                    help="skip the reference-scale filter + smoother "
+                         "regression lines")
     args = ap.parse_args()
 
     if args.quick:
@@ -385,6 +422,36 @@ def main():
                 }
             )
         )
+    if not (args.skip_extras or args.quick):
+        # reference-scale rows (VERDICT r4 #1/#3): the flagship accuracy
+        # shape nl=512 (m=509+3, exactly 4 lane tiles) in f32 on the
+        # lowrank kernel path, and the info-form smoother at N_P=100,
+        # nl=515, woodbury — the paper's contribution
+        ref_tp, _, Tr = bench_rbpf(
+            509, 4096, 192, pallas_basis=True, cov_dtype="float32",
+            symmetrize=False, kf_kernel="lowrank",
+        )
+        extras["rbpf_refscale_particle_steps_per_s"] = round(ref_tp, 1)
+        print(json.dumps({
+            "metric": (
+                f"rbpf_dense_mag_particle_steps_per_s"
+                f"[N_P=4096,m=509+3,T={Tr},lowrank-kf-r8,f32,ref-scale]"
+            ),
+            "value": round(ref_tp, 1),
+            "unit": "particle-steps/s",
+            "vs_baseline": None,
+        }))
+        ps_tp, _, Ts = bench_rbps_info()
+        extras["rbps_info_particle_steps_per_s"] = round(ps_tp, 1)
+        print(json.dumps({
+            "metric": (
+                f"rbps_info_particle_steps_per_s"
+                f"[N_P=100,m=512+3,T={Ts},woodbury]"
+            ),
+            "value": round(ps_tp, 1),
+            "unit": "particle-steps/s",
+            "vs_baseline": None,
+        }))
     try:
         with open("BENCH_EXTRA.json", "w") as f:
             json.dump(extras, f, indent=1)

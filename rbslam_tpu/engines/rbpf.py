@@ -567,9 +567,9 @@ def _run_rbpf(
 
         def run_period(carry, inp_r, width):
             xn, xl, P_base, logw_n, retries = carry
-            # the kernel's manual factor-row DMA slices the [N, rw, nl]
-            # HBM buffer per particle, so rw must be sublane-aligned
-            # (multiple of 8); extra zero rows contribute nothing
+            # Mosaic tiling of the kernel's (block, rw, nl) VMEM factor
+            # block needs a sublane-aligned rw (multiple of 8); extra
+            # zero rows contribute nothing
             width = -(-width // 8) * 8
             Wt0 = jnp.zeros((n_p, width, nl_pad), P_base.dtype)
             bidx0 = jnp.arange(n_p, dtype=jnp.int32)

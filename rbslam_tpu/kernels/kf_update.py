@@ -612,11 +612,19 @@ def kf_update_lowrank(bidx, C, xl_gathered, Wt_gathered, P_base, y, R,
         raise ValueError(f"nl={nl} must be a multiple of 128 (pad upstream)")
     while block > 1 and n % block:
         block //= 2
-    bytes_blk = block * nl * nl
-    while block > 1 and bytes_blk * 2 * P_base.dtype.itemsize \
-            > 10 * 1024 * 1024:
+    # VMEM budget: P double buffer + the pipelined Wt/C in blocks and CP
+    # out block (ADVICE r4: count the factor block too, so a large
+    # --lowrank-period shrinks block instead of the safety margin)
+    itemsize = P_base.dtype.itemsize
+    rw = Wt_gathered.shape[1]
+    per_particle = (
+        2 * nl * nl * itemsize          # P double buffer
+        + 2 * rw * nl * Wt_gathered.dtype.itemsize  # Wt double-buffered
+        + 2 * 8 * nl * C.dtype.itemsize             # C in (sublane pad)
+        + 2 * 8 * nl * 4                            # CP out f32
+    )
+    while block > 1 and block * per_particle > 13 * 1024 * 1024:
         block //= 2
-        bytes_blk //= 2
     interpret = jax.default_backend() != "tpu"
     CP = _gather_cp_call(bidx.astype(jnp.int32), C, Wt_gathered, P_base,
                          ny, nl, block, interpret)        # [N, ny, nl]

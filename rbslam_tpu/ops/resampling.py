@@ -55,7 +55,11 @@ def systematic_resample(key, w, n: int):
     and cdf_i <= (j + u0)/n  <=>  ceil(n cdf_i - u0) <= j, so bucketing
     b_i = ceil(n cdf_i - u0) and taking the cumulative histogram gives
     every ancestor in O(n) scatter+cumsum — measured 1.24x the sort-based
-    searchsorted on TPU at n=16384 and bitwise-identical to it.
+    searchsorted on TPU at n=16384, and identical to it up to f32
+    knife-edge rounding (the two sides of the equivalence round
+    differently when n*cdf_i - u0 sits within ~ulp of an integer — more
+    likely at n ~ 1e6; either outcome is a valid systematic comb; a
+    100-case fuzz at n=128 showed zero mismatches).
     """
     u0 = jax.random.uniform(key, ())
     cdf = jnp.cumsum(w)

@@ -61,6 +61,13 @@ class DenseMagConfig:
     cov_dtype: str = "float32"
     symmetrize_cov: bool = True
     ancestor_form: str = "woodbury"
+    # filter KF kernel (RBPFConfig.kf_kernel): the "lowrank" Pallas path
+    # is stable at flagship scale in f32 — the factored carry keeps
+    # P_base exactly symmetric by construction (Wt'Wt is an identical
+    # fp accumulation for (i,j) and (j,i)), so the XLA path's
+    # re-symmetrization pass is structurally unnecessary there
+    kf_kernel: str = "xla"
+    pallas_basis: bool = False
 
 
 def build_problem(cfg: DenseMagConfig, key):
@@ -75,7 +82,8 @@ def build_problem(cfg: DenseMagConfig, key):
 
     potential = ScalarPotentialBasis(hypercube_basis(cfg.m_basis, data.LL))
     center = jnp.asarray(domain_center(data.LL), jnp.float32)
-    model = make_mag3d_model(potential, center=center)
+    model = make_mag3d_model(potential, center=center,
+                             use_pallas_basis=cfg.pallas_basis)
     k = linear_plus_se_spectral(
         jnp.asarray(np.sqrt(potential.basis.eigenvalues), jnp.float32),
         cfg.theta[0], cfg.theta[1], cfg.theta[2], 3,
@@ -109,6 +117,7 @@ def run(cfg: DenseMagConfig, _built=None) -> dict:
                     n_particles=cfg.n_particles, resampling=cfg.resampling,
                     cov_dtype=cfg.cov_dtype,
                     symmetrize_cov=cfg.symmetrize_cov,
+                    kf_kernel=cfg.kf_kernel,
                 ),
             )
             jax.block_until_ready(res.traj_mean)
@@ -271,6 +280,13 @@ def main(argv=None):
                     choices=["cholesky", "woodbury"],
                     help="info-form ancestor weights: per-step nl^3 "
                          "factorization vs rank-ny inverse maintenance")
+    ap.add_argument("--kf-kernel", default="xla",
+                    choices=["xla", "block_gather", "lowrank"],
+                    help="filter KF update kernel; 'lowrank' (Pallas "
+                         "factored carry) is flagship-stable in f32 and "
+                         "needs no per-step symmetrization")
+    ap.add_argument("--pallas-basis", action="store_true",
+                    help="fused Pallas basis/Jacobian kernels")
     args = ap.parse_args(argv)
     cfg = DenseMagConfig(
         n_particles=10 if args.quick else args.particles,
@@ -285,6 +301,8 @@ def main(argv=None):
         cov_dtype=args.cov_dtype,
         symmetrize_cov=not args.no_symmetrize,
         ancestor_form=args.ancestor_form,
+        kf_kernel=args.kf_kernel,
+        pallas_basis=args.pallas_basis,
     )
     if args.compare:
         report(run_comparison(
