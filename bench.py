@@ -58,7 +58,7 @@ def _build_problem(m_basis, n_particles, n_steps, seed=1,
 def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
                pallas_basis=False, cov_dtype="float32",
                symmetrize=False, ess_threshold=1.0, kf_kernel="xla",
-               lowrank_period=8):
+               lowrank_period=8, store_trajectories=True):
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +70,8 @@ def bench_rbpf(m_basis, n_particles, n_steps, repeats=3,
     cfg = RBPFConfig(n_particles=n_particles, resampling="systematic",
                      cov_dtype=cov_dtype,
                      symmetrize_cov=symmetrize, ess_threshold=ess_threshold,
-                     kf_kernel=kf_kernel, lowrank_period=lowrank_period)
+                     kf_kernel=kf_kernel, lowrank_period=lowrank_period,
+                     store_trajectories=store_trajectories)
     args = (
         model, data.dx, data.y, data.init_state,
         jnp.zeros(potential.n_lin), jnp.diag(k), Q, R, 0.01, cfg,
@@ -449,6 +450,26 @@ def main():
                 f"[N_P=100,m=512+3,T={Ts},woodbury]"
             ),
             "value": round(ps_tp, 1),
+            "unit": "particle-steps/s",
+            "vs_baseline": None,
+        }))
+        # large-ensemble row (VERDICT r4 #7): N_P=131072 at nl=128 fits
+        # one chip with the factored carry once the [T, N, dn] history
+        # tensors are skipped (store_trajectories=False; ancestors still
+        # returned for offline reconstruction)
+        big_tp, _, Tb = bench_rbpf(
+            125, 131072, 192, pallas_basis=True, cov_dtype="bfloat16",
+            symmetrize=False, kf_kernel="lowrank",
+            store_trajectories=False,
+        )
+        extras["rbpf_131k_particle_steps_per_s"] = round(big_tp, 1)
+        print(json.dumps({
+            "metric": (
+                f"rbpf_dense_mag_particle_steps_per_s"
+                f"[N_P=131072,m=125+3,T={Tb},lowrank-kf-r8,bf16-cov,"
+                "no-traj]"
+            ),
+            "value": round(big_tp, 1),
             "unit": "particle-steps/s",
             "vs_baseline": None,
         }))

@@ -297,6 +297,8 @@ def _run_rbpf(
             sharded_resample_local,
         )
 
+        from jax.sharding import PartitionSpec as _PS
+
         _shard_map_ax = mesh.shape.get("map", 1) > 1
         _P_sh = (
             particle_map_sharding(mesh, 3, 2)
@@ -304,6 +306,34 @@ def _run_rbpf(
             else particle_sharding(mesh, 3)
         )
         _wsc = jax.lax.with_sharding_constraint
+
+        def _mk_gather(pspec):
+            """Explicit shard_map ancestor-state gather: all-gather the
+            operand along `particles` ONLY (any map axis stays sharded)
+            and index locally. GSPMD's inferred partition of the same
+            `jnp.take` hits an involuntary-full-rematerialization (it
+            replicates across BOTH mesh axes then repartitions —
+            spmd_partitioner warning in MULTICHIP_r04); this form pins
+            the exchange to one particles-axis all_gather."""
+            def inner(x_l, ai_l):
+                x_all = jax.lax.all_gather(
+                    x_l, "particles", axis=0, tiled=True
+                )
+                return jnp.take(x_all, ai_l, axis=0)
+
+            def g(x, ai):
+                return jax.shard_map(
+                    inner, mesh=mesh,
+                    in_specs=(pspec, _PS("particles")),
+                    out_specs=pspec, check_vma=False,
+                )(x, ai)
+            return g
+
+        _take_state = _mk_gather(_PS("particles", None))
+        _take_P = _mk_gather(
+            _PS("particles", None, "map") if _shard_map_ax
+            else _PS("particles", None, None)
+        )
 
         def constrain(xn, xl, P, logw):
             return (
@@ -329,6 +359,11 @@ def _run_rbpf(
         def _resample(k, w):
             ai = resample_indices(k, w, n_p, config.resampling)
             return ai, jnp.full((n_p,), -jnp.log(n_p), w.dtype)
+
+        def _take_state(x, ai):
+            return jnp.take(x, ai, axis=0)
+
+        _take_P = _take_state
     if config.kf_kernel not in ("xla", "block_gather", "lowrank"):
         raise ValueError(
             f"unknown kf_kernel {config.kf_kernel!r}: expected 'xla', "
@@ -349,11 +384,6 @@ def _run_rbpf(
         # nested-period machinery, whose empty outs_parts cannot concat
         and T > 1
     )
-    if lowrank and config.ess_threshold < 1.0:
-        raise ValueError(
-            "kf_kernel='lowrank' requires ess_threshold=1.0 (the factored "
-            "carry assumes a resampling gather every step)"
-        )
     y = jnp.asarray(y)
     if mask is None:
         mask = jnp.isfinite(y).astype(y.dtype)
@@ -427,8 +457,8 @@ def _run_rbpf(
                 lambda ww: (ident, logw_n),
                 w,
             )
-        xn_anc = jnp.take(xn, ai, axis=0)
-        xl_anc = jnp.take(xl, ai, axis=0)
+        xn_anc = _take_state(xn, ai)
+        xl_anc = _take_state(xl, ai)
 
         if getattr(model, "dynamics_batch", None) is not None:
             xn_new = model.dynamics_batch(k_dyn, xn_anc, u, dt_t, Q_t)
@@ -448,13 +478,13 @@ def _run_rbpf(
             retried = jnp.sum(retried_b)
         else:
             if do_res is None:
-                P_anc = jnp.take(P, ai, axis=0)
+                P_anc = _take_P(P, ai)
             else:
                 # ESS-adaptive: the P gather is the dominant HBM cost of
                 # a step — execute it only on resampling steps (lax.cond
                 # runs a single branch, unlike a select)
                 P_anc = jax.lax.cond(
-                    do_res, lambda p: jnp.take(p, ai, axis=0),
+                    do_res, lambda p: _take_P(p, ai),
                     lambda p: p, P,
                 )
             xl_new, P_new, logw, retried = _measurement_update(
@@ -469,7 +499,7 @@ def _run_rbpf(
 
         iw_max = jnp.argmax(logw_nn)
         outs = (
-            xn_new,
+            xn_new if config.store_trajectories else jnp.zeros((0,)),
             ai.astype(jnp.int32),
             logw_nn,
             xn_new[iw_max],
@@ -506,11 +536,34 @@ def _run_rbpf(
                 xn, xl, Wt, bidx, logw_n, retries = carry
                 k, y_t, u, Q_t, dt_t, phase = inp
                 k_res, k_dyn = jax.random.split(k)
-                ai, _ = _resample(k_res, jnp.exp(logw_n))
-                xn_a = jnp.take(xn, ai, axis=0)
-                xl_a = jnp.take(xl, ai, axis=0)
-                bidx_n = jnp.take(bidx, ai, axis=0)
-                Wt_g = jnp.take(Wt, ai, axis=0)
+                w = jnp.exp(logw_n)
+                if config.ess_threshold >= 1.0:
+                    ai, logw_prev = _resample(k_res, w)
+                    xn_a = jnp.take(xn, ai, axis=0)
+                    xl_a = jnp.take(xl, ai, axis=0)
+                    bidx_n = jnp.take(bidx, ai, axis=0)
+                    Wt_g = jnp.take(Wt, ai, axis=0)
+                else:
+                    # ESS-gated: a no-resample step keeps ai = identity,
+                    # composing cleanly with the carried base indices
+                    # (the kernel's P_base gather just re-reads each
+                    # particle's own row); all state gathers are skipped
+                    # inside the single-branch cond
+                    ess_prev = ess_from_logw(logw_n)
+                    do_res = ess_prev <= config.ess_threshold * n_p
+                    ident = jnp.arange(n_p, dtype=jnp.int32)
+                    ai, logw_prev = jax.lax.cond(
+                        do_res,
+                        lambda ww: _resample(k_res, ww),
+                        lambda ww: (ident, logw_n),
+                        w,
+                    )
+                    xn_a, xl_a, bidx_n, Wt_g = jax.lax.cond(
+                        do_res,
+                        lambda o: tuple(jnp.take(x, ai, axis=0) for x in o),
+                        lambda o: o,
+                        (xn, xl, bidx, Wt),
+                    )
                 if getattr(model, "dynamics_batch", None) is not None:
                     xn_new = model.dynamics_batch(k_dyn, xn_a, u, dt_t, Q_t)
                 else:
@@ -549,10 +602,14 @@ def _run_rbpf(
                 Wt_new = Wt_g + jnp.einsum(
                     "rc,pcn->prn", E, wnew.astype(Wt_g.dtype)
                 )
+                # accumulate carried log-weights (a no-op at
+                # ess_threshold=1, where logw_prev = -log N_P)
+                logw = logw_prev + jnp.log(n_p) + logw
                 w_new, logw_nn, logz = logsumexp_normalize(logw)
                 iw_max = jnp.argmax(logw_nn)
                 outs = (
-                    xn_new,
+                    xn_new if config.store_trajectories
+                    else jnp.zeros((0,)),
                     ai.astype(jnp.int32),
                     logw_nn,
                     xn_new[iw_max],
@@ -636,29 +693,50 @@ def _run_rbpf(
     ess = jnp.concatenate([ess_from_logw(logw1n)[None], ess_t])
     log_evidence = (logz0 - jnp.log(n_p)) + jnp.sum(logz_t)
 
-    xn_hist_full = jnp.concatenate([xn0[None], xn_hist], axis=0)  # [T, P, dn]
-    xn_traj = reconstruct_trajectories(xn_hist_full, ancestors)
+    if config.store_trajectories:
+        xn_hist_full = jnp.concatenate(
+            [xn0[None], xn_hist], axis=0
+        )  # [T, P, dn]
+        xn_traj = reconstruct_trajectories(xn_hist_full, ancestors)
+    else:
+        # store_trajectories=False: the [T, N_P, dn] history tensors are
+        # the marginal memory cost at large N_P (e.g. N_P=131072:
+        # ~3 GB of history+reconstruction buffers); production-scale
+        # runs that only need the per-step estimates skip them.
+        # Ancestors are still returned — reconstruct offline if needed.
+        xn_hist_full = jnp.zeros((0,), y.dtype)
+        xn_traj = jnp.zeros((0,), y.dtype)
 
     if (block_gather or lowrank) and xl_f.shape[-1] != n_lin:
         xl_f = xl_f[..., :n_lin]
         P_f = P_f[..., :n_lin, :n_lin]
-    P_f = P_f.astype(jnp.float32)
+    if config.store_trajectories:
+        P_f = P_f.astype(jnp.float32)
+    # else: Result.P stays in the covariance storage dtype — the f32
+    # materialization of the full [N, nl, nl] ensemble is another
+    # N*nl*nl*4 bytes of peak HBM (8.6 GB at N_P=131072), exactly what
+    # the large-ensemble no-history mode exists to avoid; the summary
+    # outputs below are f32 regardless
     w_f = jnp.exp(logw_f)
     iw_max = jnp.argmax(logw_f)
     xl_mean = jnp.sum(xl_f * w_f[:, None], axis=0)
     dev = xl_mean[None, :] - xl_f
-    P_mean = jnp.einsum("p,pij->ij", w_f, P_f) + jnp.einsum(
-        "p,pi,pj->ij", w_f, dev, dev
-    )
+    P_mean = jnp.einsum(
+        "p,pij->ij", w_f.astype(P_f.dtype), P_f,
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum("p,pi,pj->ij", w_f, dev, dev)
+    P_max_out = P_f[iw_max].astype(jnp.float32)
 
     return RBPFResult(
         traj_max=traj_max,
         traj_mean=traj_mean,
         xl_max=xl_f[iw_max],
         xl_mean=xl_mean,
-        P_max=P_f[iw_max],
+        P_max=P_max_out,
         P_mean=P_mean,
-        traj_sample_iwmax=xn_traj[:, iw_max],
+        traj_sample_iwmax=(
+            xn_traj[:, iw_max] if config.store_trajectories else xn_traj
+        ),
         xn_traj=xn_traj,
         xn_hist=xn_hist_full,
         ancestors=ancestors,

@@ -292,19 +292,39 @@ def _info_sweep(
         D2 = jnp.einsum("pki,kl,plj->pij", C2, Rinv, C2)
         Add1 = Imat_add0 - C_ref[0].T @ Rinv @ C_ref[0]
         M2 = jnp.diag(1.0 / p0_diag)[None] + D2 + Add1[None]
+        if mesh is not None:
+            # pin the TWO-matrix factorization replicated: with the map
+            # sharding it inherits from Imat_add0, the blocked Cholesky's
+            # internal gathers are the ops GSPMD could only partition by
+            # involuntary full rematerialization (MULTICHIP_r04 warning);
+            # at [2, nl, nl] the replicated factorization is negligible
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            M2 = jax.lax.with_sharding_constraint(
+                M2, NamedSharding(mesh, PartitionSpec())
+            )
         L2, retried_w1 = psd_cholesky(M2, config.jitter)
         eye_nl = jnp.eye(n_lin, dtype=y.dtype)
         W2 = jax.vmap(
             lambda Li: jax.scipy.linalg.cho_solve((Li, True), eye_nl)
         )(L2)
-        hld2 = jnp.sum(jnp.log(jnp.diagonal(L2, axis1=-2, axis2=-1)), -1)
-        sel = jnp.concatenate([
-            jnp.zeros(n_p - 1, jnp.int32), jnp.ones(1, jnp.int32)
-        ])
-        Imat1 = jnp.take(W2, sel, axis=0)              # W carried in slot
+        # diagonal via masked reduce, not jnp.diagonal: the diagonal
+        # gather of the map-axis-sharded [2, nl, nl] factor is the
+        # f32[2,nl] gather GSPMD could only partition by involuntary
+        # full rematerialization (MULTICHIP_r04 warning)
+        diag2 = jnp.sum(L2 * eye_nl[None], axis=-1)        # [2, nl]
+        hld2 = jnp.sum(jnp.log(diag2), -1)
+        # broadcast the two solutions over the ensemble with a SELECT,
+        # not a gather: a take from the [2, nl, nl] map-sharded source
+        # into the particles-sharded ensemble is the gather GSPMD could
+        # only partition by involuntary full rematerialization
+        # (MULTICHIP_r04 spmd_partitioner warning); the select
+        # partitions trivially on both mesh axes
+        is_ref = (jnp.arange(n_p) == n_p - 1)
+        Imat1 = jnp.where(is_ref[:, None, None], W2[1][None], W2[0][None])
         if config.cov_dtype != "float32":
             Imat1 = Imat1.astype(jnp.dtype(config.cov_dtype))
-        hldM1 = jnp.take(hld2, sel, axis=0)
+        hldM1 = jnp.where(is_ref, hld2[1], hld2[0])
     else:
         retried_w1 = jnp.zeros((), bool)
         hldM1 = jnp.zeros((n_p,), dtype=y.dtype)

@@ -21,3 +21,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache for the CPU test backend: the suite's
+# wall time is dominated by XLA compiles of many small distinct
+# programs (8-virtual-device shard_map programs especially); cached
+# reruns cut the suite from ~11 min to a few minutes on this 2-core
+# host (VERDICT r4 #6).
+jax.config.update("jax_compilation_cache_dir", "/root/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -265,6 +265,50 @@ def test_rbpf_lowrank_equivalent():
     )
 
 
+def test_rbpf_lowrank_ess_adaptive_equivalent():
+    """ESS-gated resampling on the factored path (VERDICT r4 #9): with
+    ess_threshold < 1 a no-resample step keeps ai = identity (composing
+    with the carried base indices) and accumulates log-weights; the run
+    must match the block_gather path step-for-step (same keys, same
+    resampling decisions) and actually skip some resampling steps."""
+    data, model, basis, center, k, Q = _radio_setup()
+    base = dict(n_particles=16, resampling="systematic",
+                symmetrize_cov=False, ess_threshold=0.7)
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    res_a = run_rbpf(
+        jax.random.PRNGKey(0), *args,
+        RBPFConfig(**base, kf_kernel="block_gather"),
+    )
+    res_b = run_rbpf(
+        jax.random.PRNGKey(0), *args,
+        RBPFConfig(**base, kf_kernel="lowrank"),
+    )
+    # identical resampling decisions and ancestors
+    np.testing.assert_array_equal(
+        np.asarray(res_a.ancestors), np.asarray(res_b.ancestors)
+    )
+    ident = np.arange(16)
+    skipped = [
+        (np.asarray(res_b.ancestors[t]) == ident).all()
+        for t in range(res_b.ancestors.shape[0])
+    ]
+    assert any(skipped), "expected at least one ESS-skipped step"
+    assert not all(skipped), "expected at least one resampling step"
+    np.testing.assert_allclose(
+        np.asarray(res_a.traj_mean), np.asarray(res_b.traj_mean), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.logw), np.asarray(res_b.logw), atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.xl_mean), np.asarray(res_b.xl_mean), atol=5e-3
+    )
+
+
 def test_rbpf_lowrank_T1_falls_back():
     """T == 1 (zero scan steps) used to crash the lowrank path on an
     empty outs concat (ADVICE round 3); it now routes through the

@@ -139,14 +139,25 @@ def test_local_island_resampler_mass_preserving():
     np.testing.assert_allclose(
         np.exp(logw_prev).reshape(8, n_local).sum(-1), W, rtol=1e-5
     )
-    # unbiasedness: E[#children of i] * child weight == w_i
-    mass = np.zeros(n)
+    # unbiasedness: E[#children of i] * child weight == w_i. All draws
+    # run inside ONE jitted scan — eager per-draw dispatch of the
+    # 8-device program cost ~2.4 s/draw (~8 min for the loop).
     n_draws = 200
-    for d in range(n_draws):
-        ai_d, lw_d = sharded_resample_local(
-            jax.random.PRNGKey(100 + d), w, mesh
-        )
-        np.add.at(mass, np.asarray(ai_d), np.exp(np.asarray(lw_d)))
+
+    @jax.jit
+    def all_draws(keys):
+        def one(_, k):
+            ai_d, lw_d = sharded_resample_local(k, w, mesh)
+            return _, (ai_d, lw_d)
+
+        return jax.lax.scan(one, 0, keys)[1]
+
+    ais, lws = all_draws(
+        jax.vmap(jax.random.PRNGKey)(100 + jnp.arange(n_draws))
+    )
+    mass = np.zeros(n)
+    np.add.at(mass, np.asarray(ais).ravel(),
+              np.exp(np.asarray(lws)).ravel())
     mass /= n_draws
     np.testing.assert_allclose(mass, np.asarray(w), atol=3e-3)
 
@@ -257,12 +268,15 @@ def test_rbpf_mesh_rejects_pallas_kernels():
         )
 
 
-@pytest.mark.parametrize("n_map", [2, 4])
+@pytest.mark.parametrize("n_map", [2])
 def test_woodbury_rowsharded_matches_unsharded(n_map):
     """Explicit map-axis Schur block reduction: the row-sharded Woodbury
     rank-ny chain and the ancestor-weight quadratic equal the unsharded
     forms element-for-element (SURVEY §2.4 map-axis MP; reference
-    semantics src/particleSmootherInformationForm.m:224-236)."""
+    semantics src/particleSmootherInformationForm.m:224-236).
+    (n_map=4 exercises the identical code path and was dropped from the
+    default grid for suite wall time — VERDICT r4 #6; run it ad hoc by
+    editing the parametrize list.)"""
     from rbslam_tpu.engines.rbps_info import _woodbury_rank_ny
     from rbslam_tpu.parallel.map_axis import (
         quad_form_rowsharded,
@@ -280,7 +294,7 @@ def test_woodbury_rowsharded_matches_unsharded(n_map):
     W = jnp.linalg.inv(M)
     hldM = 0.5 * jnp.linalg.slogdet(M)[1]
     W_sh, hldM_sh = W, hldM
-    for i in range(4):
+    for i in range(2):     # one +1 and one -1 sign update each
         U = 0.4 * jax.random.normal(jax.random.fold_in(key, i), (n_p, nl, ny))
         sign = 1.0 if i % 2 == 0 else -1.0
         if sign < 0:
