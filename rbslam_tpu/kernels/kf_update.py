@@ -644,16 +644,15 @@ def kf_update_lowrank(bidx, C, xl_gathered, Wt_gathered, P_base, y, R,
         - 0.5 * ny * _LOG2PI
     )
     Li = _Li_from_chol_small_batched(L)
-    # xl update from (z, Li, CP) directly so the only materialization of
-    # the new factor rows is the storage-dtype write the caller places
-    # into Wt (bf16 halves the sublane-padded [N, ny, nl] pass)
+    # ONE combined gain matmul: stack the state-gain row z'L^-1 on top
+    # of L^-1 so xl' and the new factor rows come from a single pass
+    # over CP (one read of the [N, ny, nl] f32 tensor instead of two)
     zLi = jnp.einsum("pi,pij->pj", z, Li)
-    xl_new = xl_gathered.astype(jnp.float32) \
-        + jnp.einsum("pj,pjk->pk", zLi, CP,
+    G = jnp.concatenate([zLi[:, None, :], Li], axis=1)   # [N, 1+ny, ny]
+    out = jnp.einsum("pij,pjk->pik", G, CP,
                      preferred_element_type=jnp.float32)
-    Wnew = jnp.einsum("pij,pjk->pik", Li, CP,
-                      preferred_element_type=jnp.float32) \
-        .astype(Wt_gathered.dtype)
+    xl_new = xl_gathered.astype(jnp.float32) + out[:, 0]
+    Wnew = out[:, 1:].astype(Wt_gathered.dtype)
     return xl_new, Wnew, logw, bad
 
 

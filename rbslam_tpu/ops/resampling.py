@@ -62,12 +62,29 @@ def systematic_resample(key, w, n: int):
     100-case fuzz at n=128 showed zero mismatches).
     """
     u0 = jax.random.uniform(key, ())
-    cdf = jnp.cumsum(w)
+    cdf = _cumsum_1d(w)
     cdf = cdf / cdf[-1]
     b = jnp.clip(jnp.ceil(n * cdf - u0).astype(jnp.int32), 0, n)
     hist = jnp.zeros(n + 1, jnp.int32).at[b].add(1, mode="drop")
-    ai = jnp.cumsum(hist[:n])
+    ai = _cumsum_1d(hist[:n])
     return jnp.clip(ai, 0, w.shape[0] - 1).astype(jnp.int32)
+
+
+def _cumsum_1d(x):
+    """1-D inclusive cumsum; for large power-of-two lengths, computed as
+    a 2-D row-cumsum + row-offset broadcast — the straight 1-D
+    `jnp.cumsum` lowers to a ~log(n)-pass shifted-add chain that is
+    latency-bound on TPU (~0.14 ms at n=16384 in the filter-step trace);
+    the [rows, 128]-shaped form does the same work in a few wide passes.
+    """
+    n = x.shape[0]
+    if n < 4096 or n % 128:
+        return jnp.cumsum(x)
+    rows = n // 128
+    x2 = x.reshape(rows, 128)
+    within = jnp.cumsum(x2, axis=1)
+    offsets = jnp.cumsum(within[:, -1]) - within[:, -1]   # exclusive
+    return (within + offsets[:, None]).reshape(n)
 
 
 def stratified_resample(key, w, n: int):

@@ -201,3 +201,34 @@ def test_bf16_cov_fenced_at_reference_scale():
                    RBPFConfig(n_particles=2, cov_dtype="bfloat16",
                               allow_bf16_large_nl=True))
     assert np.all(np.isfinite(np.asarray(res.logw)))
+
+
+def test_rbpf_no_trajectory_storage():
+    """store_trajectories=False skips the [T, N_P, dn] history tensors
+    (the marginal memory cost at production ensemble sizes, e.g.
+    N_P=131072) while leaving every summary output and the ancestor
+    record identical to the full run."""
+    data, model, basis, center, k, Q = _radio_setup()
+    args = (
+        model, data.dx, data.y, data.init_state,
+        jnp.zeros(basis.m), jnp.diag(k), Q,
+        jnp.array([[THETA[2]]]), 1.0,
+    )
+    key = jax.random.PRNGKey(3)
+    res_full = run_rbpf(key, *args, RBPFConfig(n_particles=16))
+    res_slim = run_rbpf(
+        key, *args, RBPFConfig(n_particles=16, store_trajectories=False)
+    )
+    assert res_slim.xn_hist.size == 0
+    assert res_slim.xn_traj.size == 0
+    np.testing.assert_allclose(
+        np.asarray(res_full.traj_mean), np.asarray(res_slim.traj_mean),
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_full.ancestors), np.asarray(res_slim.ancestors)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_full.xl_mean), np.asarray(res_slim.xl_mean),
+        atol=1e-6,
+    )
