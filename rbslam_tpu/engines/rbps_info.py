@@ -378,10 +378,16 @@ def _info_sweep(
             gather, (xl, P, ivec, Imat, hldp, hldM)
         )
 
-        dyn_keys = jax.random.split(k_dyn, n_p)
-        xn_new = jax.vmap(
-            lambda kk, x: model.dynamics(kk, x, u, dt_t, Q_t)
-        )(dyn_keys, xn_anc)
+        if getattr(model, "dynamics_batch", None) is not None:
+            # one batched noise draw instead of N_P per-particle key
+            # splits + vmapped small lax.linalg factorizations (the
+            # filter's pattern; same distribution, different stream)
+            xn_new = model.dynamics_batch(k_dyn, xn_anc, u, dt_t, Q_t)
+        else:
+            dyn_keys = jax.random.split(k_dyn, n_p)
+            xn_new = jax.vmap(
+                lambda kk, x: model.dynamics(kk, x, u, dt_t, Q_t)
+            )(dyn_keys, xn_anc)
         if not is_first:
             xn_new = xn_new.at[n_p - 1].set(xnk[t_idx])
 

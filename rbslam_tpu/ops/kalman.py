@@ -241,8 +241,13 @@ def _kalman_update_dense_batched_small(C, P, xl, y, R, jitter, joseph,
                                         symmetrize_out=True):
     cdtype = C.dtype
     e = y[None, :] - jnp.einsum("pij,pj->pi", C, xl)
+    # contract P's LAST axis (exact for the symmetric covariance; equal
+    # by symmetry of S/K/downdate either way): the 'pij,pjk' form made
+    # XLA assign P a transposed {1,2,0} layout while the downdate
+    # producer emits {2,1,0} — a full [N, nl, nl] layout-copy pass per
+    # step in the info-form smoother trace (scripts/trace_smoother.py)
     CP = jnp.einsum(
-        "pij,pjk->pik", C, P, preferred_element_type=jnp.float32
+        "pij,pkj->pik", C, P, preferred_element_type=jnp.float32
     )
     S = jnp.einsum(
         "pik,pjk->pij", CP, C, preferred_element_type=jnp.float32
