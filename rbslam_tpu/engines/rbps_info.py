@@ -110,10 +110,16 @@ def _woodbury_rank_ny(W, hldM, U, sign: float, jitter):
         jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
     )
     GB = jnp.einsum("pik,pkl->pil", G, Binv)
-    # compute the rank-ny correction in f32, subtract in the storage
-    # dtype (no W-sized f32 temporary when W is carried in bf16)
-    corr = jnp.einsum(
-        "pil,pjl->pij", GB, G, preferred_element_type=jnp.float32
+    # rank-ny correction as a SUM OF BROADCAST OUTER PRODUCTS, not a
+    # thin-K matmul: XLA lowers the K=ny einsum as a convolution whose
+    # [N, nl, nl] output takes a transposed layout, forcing a full
+    # layout-copy pass before the subtract (scripts/trace_smoother.py);
+    # the broadcast form is elementwise (layout-agnostic) and fuses
+    # with the subtract into one output pass. Compute is ny MACs per
+    # element — negligible next to the memory traffic either way.
+    corr = sum(
+        GB[..., l][:, :, None] * G[..., l].astype(jnp.float32)[:, None, :]
+        for l in range(ny)
     )
     W_new = W - (sign * corr).astype(W.dtype)
     return W_new, hldM_new, retried
@@ -214,6 +220,12 @@ def _info_sweep(
                 wsc(logw, particle_sharding(mesh, 1)),
             )
     else:
+        # (tried: jax.experimental.layout.with_layout_constraint row-
+        # major pins on the P/W carries to kill the per-step layout
+        # copies the trace shows — the copies just moved to the other
+        # side of the gathers, throughput unchanged; the residual
+        # {1,2,0} demand is XLA's layout choice for one ancestor
+        # gather, not the carries. scripts/trace_smoother.py)
         def _constrain(*args):
             return args
 

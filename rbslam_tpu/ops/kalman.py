@@ -270,10 +270,18 @@ def _kalman_update_dense_batched_small(C, P, xl, y, R, jitter, joseph,
     else:
         # P - K S K' == P - (CP)' Sinv (CP); the downdate is computed in
         # f32 and subtracted in the storage dtype so no P-sized f32
-        # temporary is materialized (bf16 carry at large N)
-        downdate = jnp.einsum(
-            "pji,pjk->pik", CP, jnp.einsum("pij,pjk->pik", Sinv, CP),
-            preferred_element_type=jnp.float32,
+        # temporary is materialized (bf16 carry at large N). The rank-ny
+        # outer product is a SUM OF BROADCASTS, not a thin-K einsum —
+        # XLA lowers the K=ny matmul as a convolution whose [N, nl, nl]
+        # output takes a transposed layout and costs a full layout-copy
+        # pass per step (scripts/trace_smoother.py)
+        X = jnp.einsum(
+            "pij,pjk->pik", Sinv, CP, preferred_element_type=jnp.float32
+        )
+        CPf = CP.astype(jnp.float32)
+        downdate = sum(
+            CPf[:, j][:, :, None] * X[:, j][:, None, :]
+            for j in range(e.shape[-1])
         )
         P_new = P - downdate.astype(P.dtype)
     if symmetrize_out:
