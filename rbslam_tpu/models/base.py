@@ -48,11 +48,6 @@ class DenseModel(NamedTuple):
     # per-particle key splits (threefry key derivation for 16k+ particles
     # is measurable VPU work in the hot step)
     dynamics_batch: Optional[Callable] = None
-    # optional fully-fused transposed Jacobian (xn [P, dn], nl_pad) ->
-    # Ct [ny, P, nl_pad]: one kernel emits the complete measurement
-    # Jacobian (basis eval + model-specific assembly) in the [ny, P, nl]
-    # layout with no sublane-padded intermediates (kernels/basis_eval.py)
-    meas_jacobian_batch_t: Optional[Callable] = None
     # optional fused ROWS-layout Jacobian (xn [P, dn], nl_pad, dtype) ->
     # C [P, ny, nl_pad] in the given storage dtype — the exact input
     # layout Mosaic's batch-dim rules force on the lowrank KF kernel,

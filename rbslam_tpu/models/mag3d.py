@@ -92,10 +92,9 @@ def make_mag3d_model(
         return Rnb.T @ C_nav
 
     meas_jacobian_batch = None
-    meas_jacobian_batch_t = None
     meas_jacobian_batch_rows = None
     if use_pallas_basis:
-        from ..kernels import grad_basis_pallas, mag3d_jacobian_pallas
+        from ..kernels import grad_basis_pallas
         from ..kernels.basis_eval import mag3d_jacobian_rows_pallas
 
         def meas_jacobian_batch(xn):
@@ -107,11 +106,6 @@ def make_mag3d_model(
             C_nav = jnp.concatenate([eye, g], axis=-1)    # [P, 3, 3+m]
             Rnb = quat_to_rmat(xn[:, _IQUAT])
             return jnp.einsum("pji,pjk->pik", Rnb, C_nav)
-
-        def meas_jacobian_batch_t(xn, nl_pad):
-            return mag3d_jacobian_pallas(
-                potential.basis, xn[:, _IPOS] - c, xn[:, _IQUAT], nl_pad
-            )
 
         def meas_jacobian_batch_rows(xn, nl_pad, dtype):
             return mag3d_jacobian_rows_pallas(
@@ -128,6 +122,5 @@ def make_mag3d_model(
         ny=3,
         meas_jacobian_batch=meas_jacobian_batch,
         dynamics_batch=dynamics_batch,
-        meas_jacobian_batch_t=meas_jacobian_batch_t,
         meas_jacobian_batch_rows=meas_jacobian_batch_rows,
     )

@@ -122,3 +122,19 @@ def test_mag3d_jacobian_kernel_matches_reference():
     np.testing.assert_array_equal(
         np.asarray(Ct[:, :, 3 + basis.m:]), 0.0
     )
+
+    # the ROWS-layout variant (the lowrank KF kernel's production input,
+    # emitted directly in the storage dtype) matches element-for-element
+    from rbslam_tpu.kernels.basis_eval import mag3d_jacobian_rows_pallas
+
+    Cr = mag3d_jacobian_rows_pallas(basis, pos, q, nl_pad)
+    assert Cr.shape == (n, 3, nl_pad)
+    np.testing.assert_allclose(
+        np.asarray(Cr), np.asarray(jnp.swapaxes(Ct, 0, 1)),
+        rtol=1e-6, atol=1e-6,
+    )
+    Cr16 = mag3d_jacobian_rows_pallas(basis, pos, q, nl_pad, jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(Cr16).astype(np.float32), np.asarray(Cr),
+        rtol=8e-3, atol=8e-3 * float(jnp.abs(Cr).max()),
+    )
