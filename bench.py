@@ -442,6 +442,28 @@ def main():
             "unit": "particle-steps/s",
             "vs_baseline": None,
         }))
+        # bf16 factored carry at reference scale: rounds P only at
+        # rebases, so unlike the per-step paths it is STABLE at
+        # n_lin=512 — accuracy-validated over 20 flagship seeds (median
+        # RMSE 0.235 m <= the 0.3 m reference bound, zero NaN;
+        # RESULTS.md r5) and 1.8x the f32 row
+        ref16_tp, _, _ = bench_rbpf(
+            509, 4096, 192, pallas_basis=True, cov_dtype="bfloat16",
+            symmetrize=False, kf_kernel="lowrank",
+        )
+        extras["rbpf_refscale_bf16_particle_steps_per_s"] = round(
+            ref16_tp, 1
+        )
+        print(json.dumps({
+            "metric": (
+                f"rbpf_dense_mag_particle_steps_per_s"
+                f"[N_P=4096,m=509+3,T={Tr},lowrank-kf-r8,bf16-cov,"
+                "ref-scale]"
+            ),
+            "value": round(ref16_tp, 1),
+            "unit": "particle-steps/s",
+            "vs_baseline": None,
+        }))
         ps_tp, _, Ts = bench_rbps_info()
         extras["rbps_info_particle_steps_per_s"] = round(ps_tp, 1)
         print(json.dumps({

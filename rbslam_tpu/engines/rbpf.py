@@ -398,13 +398,24 @@ def _run_rbpf(
     n_lin = xl0.shape[-1]
     if config.cov_dtype != "float32":
         if (config.cov_dtype == "bfloat16" and n_lin > 256
-                and not config.allow_bf16_large_nl):
+                and not config.allow_bf16_large_nl
+                and not lowrank):
+            # the per-step paths round the FULL covariance to bf16 every
+            # step: the rounding accumulates over T and produces NaN
+            # weights at reference scale (measured at n_lin=515,
+            # RESULTS.md). The lowrank factored carry is exempt — it
+            # rounds P only at rebases (T/r times, factor rows exact
+            # within a period) and is measured stable AND accurate at
+            # n_lin=512/T=192 (20-seed flagship validation median
+            # 0.235 m, zero NaN — RESULTS.md r5).
             raise ValueError(
                 f"cov_dtype='bfloat16' at n_lin={n_lin} > 256 destabilizes "
-                "the filter (bf16 rounding in the per-step covariance "
-                "downdates accumulates over T and produces NaN weights at "
-                "reference scale — RESULTS.md). Use float32, or set "
-                "allow_bf16_large_nl=True to override deliberately."
+                "the per-step filter paths (bf16 rounding of the "
+                "covariance downdates accumulates over T and produces NaN "
+                "weights at reference scale — RESULTS.md). Use float32, "
+                "kf_kernel='lowrank' (rounds P only at rebases; measured "
+                "stable at this scale), or set allow_bf16_large_nl=True "
+                "to override deliberately."
             )
         P0 = P0.astype(jnp.dtype(config.cov_dtype))
     if block_gather or lowrank:
